@@ -40,10 +40,12 @@ CELL_EDGES = {
 }
 
 
-def _lattice_barycentric(dim: int, degree: int) -> np.ndarray:
-    """All barycentric lattice multi-indices /degree, vertices first."""
+def lattice_multi_index(cell: str, degree: int) -> np.ndarray:
+    """Integer barycentric lattice multi-indices (ndofs, nverts), rows sum to
+    ``degree``, ordered vertices-first then lexicographic — the canonical
+    local node ordering shared by tabulation nodes and the dofmap."""
+    dim = cell_dim(cell)
     n = degree
-    pts = []
     if dim == 1:
         idx = [(n - i, i) for i in range(n + 1)]
     elif dim == 2:
@@ -55,16 +57,21 @@ def _lattice_barycentric(dim: int, degree: int) -> np.ndarray:
             for j in range(n + 1 - k)
             for i in range(n + 1 - j - k)
         ]
-    lam = np.array(idx, dtype=np.float64) / n
-    # reorder: vertices first. Vertex v has lam[v] == 1.
+    lam = np.array(idx, dtype=np.int64)
+    # reorder: vertices first. Vertex v has lam[v] == degree.
     nverts = dim + 1
     order = []
     for v in range(nverts):
-        (pos,) = np.where(np.abs(lam[:, v] - 1.0) < 1e-12)
+        (pos,) = np.where(lam[:, v] == n)
         order.append(pos[0])
     rest = [i for i in range(lam.shape[0]) if i not in order]
-    pts = lam[np.array(order + rest, dtype=int)]
-    return pts
+    return lam[np.array(order + rest, dtype=int)]
+
+
+def _lattice_barycentric(dim: int, degree: int) -> np.ndarray:
+    """Barycentric lattice coordinates (ndofs, nverts), vertices first."""
+    cell = {1: "interval", 2: "triangle", 3: "tetrahedron"}[dim]
+    return lattice_multi_index(cell, degree).astype(np.float64) / degree
 
 
 def _warp_1d(degree: int, r: np.ndarray) -> np.ndarray:
