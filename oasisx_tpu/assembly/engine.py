@@ -1,0 +1,317 @@
+"""Device-side assembly engine: batched-einsum element kernels + segment-sum
+scatter, the TPU-native replacement for DOLFINx assemblers + FFCx kernels
+(SURVEY §2b; call sites /root/reference/src/oasisx/fracstep.py:373-409,
+435-442, 487-502, 538, 618).
+
+Everything here is jit-friendly: the ``DeviceContext`` is a registered
+dataclass pytree passed into jitted programs as a runtime argument (no
+constant-bloat), and all assembly routines are pure functions of it.
+
+Matrix semantics: matrices are carried as *stored element matrices*
+(ncells, nd, nd). Linear combinations on a shared sparsity (PETSc
+``Mat.axpy`` / ``scale``, fracstep.py:438-442,468-469) are elementwise adds
+of element-matrix stacks; SpMV is gather -> batched small matmul ->
+segment-sum; Dirichlet ``zeroRowsLocal`` becomes a row mask applied at
+matvec time (y[bc] = x[bc]).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import real_dtype
+from ..elements.element import FiniteElement
+from ..meshes.mesh import Mesh
+from .geometry import compute_cell_geometry
+from .reference_tensors import ReferenceTensors, build_reference_tensors
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class DeviceContext:
+    """Static per-problem device arrays for assembly on one cell batch."""
+
+    # dofmaps
+    cd_v: jax.Array  # (nc, ndv) int32, velocity-component cell dofs
+    cd_q: jax.Array  # (nc, ndq) int32, pressure cell dofs
+    # geometry
+    detJ: jax.Array  # (nc,)
+    Kinv: jax.Array  # (nc, d, d)
+    G: jax.Array  # (nc, d, d)
+    # quadrature tables
+    qw: jax.Array  # (nq,)
+    phi_v: jax.Array  # (nq, ndv)
+    dphi_v: jax.Array  # (nq, d, ndv)
+    phi_q: jax.Array  # (nq, ndq)
+    dphi_q: jax.Array  # (nq, d, ndq)
+    # reference tensors
+    mass_ref: jax.Array
+    massq_ref: jax.Array
+    stiff_ref: jax.Array
+    stiffq_ref: jax.Array
+    conv_ref: jax.Array
+    mixed_ref: jax.Array
+    gradq_ref: jax.Array
+    load_ref: jax.Array
+    # static sizes
+    ndofs_v: int = field(metadata=dict(static=True))
+    ndofs_q: int = field(metadata=dict(static=True))
+    dim: int = field(metadata=dict(static=True))
+
+
+def build_device_context(
+    mesh: Mesh,
+    el_v: FiniteElement,
+    cd_v: np.ndarray,
+    ndofs_v: int,
+    el_q: FiniteElement,
+    cd_q: np.ndarray,
+    ndofs_q: int,
+    dtype=None,
+    qdegree: int | None = None,
+) -> tuple[DeviceContext, ReferenceTensors]:
+    dtype = real_dtype(dtype)
+    geo = compute_cell_geometry(mesh.x, mesh.cells, mesh.dim)
+    refs = build_reference_tensors(el_v, el_q, qdegree)
+    a = lambda x: jnp.asarray(x, dtype=dtype)
+    ctx = DeviceContext(
+        cd_v=jnp.asarray(cd_v, dtype=jnp.int32),
+        cd_q=jnp.asarray(cd_q, dtype=jnp.int32),
+        detJ=a(geo.detJ),
+        Kinv=a(geo.Kinv),
+        G=a(geo.G),
+        qw=a(refs.qweights),
+        phi_v=a(refs.phi_v),
+        dphi_v=a(refs.dphi_v),
+        phi_q=a(refs.phi_q),
+        dphi_q=a(refs.dphi_q),
+        mass_ref=a(refs.mass),
+        massq_ref=a(refs.mass_q),
+        stiff_ref=a(refs.stiffness),
+        stiffq_ref=a(refs.stiffness_q),
+        conv_ref=a(refs.convection),
+        mixed_ref=a(refs.mixed_grad),
+        gradq_ref=a(refs.grad_q),
+        load_ref=a(refs.load),
+        ndofs_v=int(ndofs_v),
+        ndofs_q=int(ndofs_q),
+        dim=mesh.dim,
+    )
+    return ctx, refs
+
+
+# ---------------------------------------------------------------------------
+# gather / scatter primitives
+# ---------------------------------------------------------------------------
+
+
+def scatter_add(vals: jax.Array, cell_dofs: jax.Array, num_dofs: int) -> jax.Array:
+    """Sum per-cell local contributions into a global dof vector.
+
+    The structural equivalent of ghost accumulation + scatter_reverse(add)
+    (fracstep.py:390 et al.) collapsed to a single deterministic segment-sum.
+    """
+    return jax.ops.segment_sum(
+        vals.reshape(-1), cell_dofs.reshape(-1), num_segments=num_dofs
+    )
+
+
+# ---------------------------------------------------------------------------
+# element-matrix producers (constant ones computed once at setup)
+# ---------------------------------------------------------------------------
+
+
+def mass_elems(ctx: DeviceContext) -> jax.Array:
+    """(u, v) dx on V — reference form fracstep.py:292."""
+    return ctx.detJ[:, None, None] * ctx.mass_ref[None]
+
+
+def mass_q_elems(ctx: DeviceContext) -> jax.Array:
+    """(p, q) dx on Q — Projector mass matrix (function.py:65)."""
+    return ctx.detJ[:, None, None] * ctx.massq_ref[None]
+
+
+def stiffness_elems(ctx: DeviceContext) -> jax.Array:
+    """(grad u, grad v) dx on V — fracstep.py:297-299."""
+    return jnp.einsum("c,cab,abij->cij", ctx.detJ, ctx.G, ctx.stiff_ref)
+
+
+def stiffness_q_elems(ctx: DeviceContext) -> jax.Array:
+    """(grad p, grad q) dx on Q (pressure Laplacian) — fracstep.py:321-323."""
+    return jnp.einsum("c,cab,abij->cij", ctx.detJ, ctx.G, ctx.stiffq_ref)
+
+
+def convection_elems(ctx: DeviceContext, uab: jax.Array) -> jax.Array:
+    """((uab . grad) u, v) dx with AB2 convecting velocity ``uab`` of shape
+    (d, ndofs_v) — the every-step hot assembly (fracstep.py:355-358,435-437)."""
+    ue = uab[:, ctx.cd_v]  # (g, nc, k)
+    return jnp.einsum("c,cbg,gck,bijk->cij", ctx.detJ, ctx.Kinv, ue, ctx.conv_ref)
+
+
+def pressure_gradient_mats(ctx: DeviceContext) -> jax.Array:
+    """Element matrices of p * v.dx(i): shape (d, nc, ndv, ndq)
+    (non-low-memory strategy, fracstep.py:311-315)."""
+    return jnp.einsum("c,cbg,bjm->gcjm", ctx.detJ, ctx.Kinv, ctx.mixed_ref)
+
+
+def grad_p_mats(ctx: DeviceContext) -> jax.Array:
+    """Element matrices of p.dx(i) * v: shape (d, nc, ndv, ndq)
+    (fracstep.py:348-352)."""
+    return jnp.einsum("c,cbg,bjm->gcjm", ctx.detJ, ctx.Kinv, ctx.gradq_ref)
+
+
+# ---------------------------------------------------------------------------
+# operator application (SpMV via stored element matrices)
+# ---------------------------------------------------------------------------
+
+
+def matvec_v(ctx: DeviceContext, elems: jax.Array, x: jax.Array) -> jax.Array:
+    """y = A x for an operator on the velocity-component space."""
+    ye = jnp.einsum("cij,cj->ci", elems, x[ctx.cd_v])
+    return scatter_add(ye, ctx.cd_v, ctx.ndofs_v)
+
+
+def matvec_q(ctx: DeviceContext, elems: jax.Array, x: jax.Array) -> jax.Array:
+    ye = jnp.einsum("cij,cj->ci", elems, x[ctx.cd_q])
+    return scatter_add(ye, ctx.cd_q, ctx.ndofs_q)
+
+
+def diagonal_v(ctx: DeviceContext, elems: jax.Array) -> jax.Array:
+    d = jnp.einsum("cii->ci", elems)
+    return scatter_add(d, ctx.cd_v, ctx.ndofs_v)
+
+
+def diagonal_q(ctx: DeviceContext, elems: jax.Array) -> jax.Array:
+    d = jnp.einsum("cii->ci", elems)
+    return scatter_add(d, ctx.cd_q, ctx.ndofs_q)
+
+
+# ---------------------------------------------------------------------------
+# direct vector assembly ("action" / low-memory strategy — the TPU-preferred
+# path, mirroring low_memory_version=True, fracstep.py:305-309,327-329,342-345)
+# ---------------------------------------------------------------------------
+
+
+def pressure_gradient_vecs(ctx: DeviceContext, p: jax.Array) -> jax.Array:
+    """r_i = assemble(p * v.dx(i) dx) for all components at once: (d, ndofs_v)."""
+    pe = p[ctx.cd_q]  # (nc, m)
+    re = jnp.einsum("c,cbg,bjm,cm->gcj", ctx.detJ, ctx.Kinv, ctx.mixed_ref, pe)
+    return jax.vmap(lambda v: scatter_add(v, ctx.cd_v, ctx.ndofs_v))(re)
+
+
+def divergence_vec(ctx: DeviceContext, u: jax.Array) -> jax.Array:
+    """assemble(div(u) q dx) for u of shape (d, ndofs_v): (ndofs_q,)
+    (fracstep.py:327-329)."""
+    ue = u[:, ctx.cd_v]  # (g, nc, j)
+    be = jnp.einsum("c,cbg,bmj,gcj->cm", ctx.detJ, ctx.Kinv, _mixed_T(ctx), ue)
+    return scatter_add(be, ctx.cd_q, ctx.ndofs_q)
+
+
+def _mixed_T(ctx: DeviceContext) -> jax.Array:
+    return jnp.swapaxes(ctx.mixed_ref, 1, 2)  # (b, m, j)
+
+
+def grad_p_vecs(ctx: DeviceContext, dp: jax.Array) -> jax.Array:
+    """r_i = assemble(dp.dx(i) * v dx) for all components: (d, ndofs_v)
+    (velocity update, fracstep.py:342-345,618)."""
+    pe = dp[ctx.cd_q]
+    re = jnp.einsum("c,cbg,bjm,cm->gcj", ctx.detJ, ctx.Kinv, ctx.gradq_ref, pe)
+    return jax.vmap(lambda v: scatter_add(v, ctx.cd_v, ctx.ndofs_v))(re)
+
+
+def constant_load_vec(ctx: DeviceContext, f: jax.Array) -> jax.Array:
+    """assemble(f * v dx) for constant scalar f: (ndofs_v,) (fracstep.py:289)."""
+    ve = f * ctx.detJ[:, None] * ctx.load_ref[None, :]
+    return scatter_add(ve, ctx.cd_v, ctx.ndofs_v)
+
+
+def source_load_vec_q(ctx: DeviceContext, vals_qp: jax.Array) -> jax.Array:
+    """assemble(g * q dx) from values of g at quadrature points (nc, nq),
+    into Q — the Projector RHS path (function.py:74)."""
+    ve = jnp.einsum("cq,q,qm,c->cm", vals_qp, ctx.qw, ctx.phi_q, ctx.detJ)
+    return scatter_add(ve, ctx.cd_q, ctx.ndofs_q)
+
+
+def source_load_vec_v(ctx: DeviceContext, vals_qp: jax.Array) -> jax.Array:
+    ve = jnp.einsum("cq,q,qj,c->cj", vals_qp, ctx.qw, ctx.phi_v, ctx.detJ)
+    return scatter_add(ve, ctx.cd_v, ctx.ndofs_v)
+
+
+# ---------------------------------------------------------------------------
+# quadrature-point evaluation + scalar functionals (assemble_scalar:
+# fracstep.py:582-588, demo/taylor_green.py:204-206)
+# ---------------------------------------------------------------------------
+
+
+def eval_v_at_qp(ctx: DeviceContext, x: jax.Array) -> jax.Array:
+    """Values of a V-function at all quadrature points: (nc, nq)."""
+    return jnp.einsum("qj,cj->cq", ctx.phi_v, x[ctx.cd_v])
+
+
+def eval_q_at_qp(ctx: DeviceContext, x: jax.Array) -> jax.Array:
+    return jnp.einsum("qm,cm->cq", ctx.phi_q, x[ctx.cd_q])
+
+
+def grad_v_at_qp(ctx: DeviceContext, x: jax.Array) -> jax.Array:
+    """Physical gradient of a V-function at qp: (nc, nq, d)."""
+    return jnp.einsum("cbg,qbj,cj->cqg", ctx.Kinv, ctx.dphi_v, x[ctx.cd_v])
+
+
+def grad_q_at_qp(ctx: DeviceContext, x: jax.Array) -> jax.Array:
+    return jnp.einsum("cbg,qbm,cm->cqg", ctx.Kinv, ctx.dphi_q, x[ctx.cd_q])
+
+
+def integrate(ctx: DeviceContext, vals_qp: jax.Array) -> jax.Array:
+    """Integral over the mesh of a quantity given at quadrature points."""
+    return jnp.einsum("cq,q,c->", vals_qp, ctx.qw, ctx.detJ)
+
+
+def cell_volume_total(ctx: DeviceContext) -> jax.Array:
+    """assemble(1 * dx) (fracstep.py:582)."""
+    return jnp.sum(ctx.detJ) * jnp.sum(ctx.qw)
+
+
+# ---------------------------------------------------------------------------
+# Dirichlet row masking (PETSc zeroRowsLocal / zeroRowsColumnsLocal
+# equivalents, fracstep.py:407-409,471-472)
+# ---------------------------------------------------------------------------
+
+
+def apply_bc_rows(mask: jax.Array, y: jax.Array, x: jax.Array) -> jax.Array:
+    """After y = A x: emulate zeroRows(bc, diag=1): y[bc] = x[bc]."""
+    return jnp.where(mask, x, y)
+
+
+def bc_symmetric_matvec(ctx: DeviceContext, elems, mask, x, matvec) -> jax.Array:
+    """Emulate zeroRowsColumns(bc, diag=1): y = A (x off bc) with bc rows
+    replaced by identity."""
+    y = matvec(ctx, elems, jnp.where(mask, 0.0, x))
+    return jnp.where(mask, x, y)
+
+
+# ---------------------------------------------------------------------------
+# dense export (test-only differential checks vs scipy oracles, mirroring
+# gather_PETScMatrix in test/test_tentative_velocity.py:19-40)
+# ---------------------------------------------------------------------------
+
+
+def elems_to_dense(elems: np.ndarray, rows: np.ndarray, cols: np.ndarray, nr: int, nc: int):
+    A = np.zeros((nr, nc))
+    e = np.asarray(elems)
+    r = np.asarray(rows)
+    c = np.asarray(cols)
+    ncell, ni, nj = e.shape
+    np.add.at(
+        A,
+        (
+            np.repeat(r, nj, axis=1).reshape(-1),
+            np.tile(c, (1, ni)).reshape(-1),
+        ),
+        e.reshape(-1),
+    )
+    return A
