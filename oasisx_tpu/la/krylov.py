@@ -1,0 +1,146 @@
+"""Matrix-free Krylov solvers in pure XLA (jit/while_loop).
+
+The TPU-native replacement for PETSc KSP/PC (+MUMPS) — SURVEY §2b. The
+reference's test/demo configs use ``preonly + lu`` (exact factorization,
+src/oasisx/fracstep.py:564-571); here those map to tight-tolerance Krylov
+(SURVEY §4 'implication for the rebuild'): CG for SPD operators (pressure
+Poisson, mass), BiCGStab for the nonsymmetric tentative-velocity operator.
+
+Singular pressure-Poisson handling (no outlet BC): the constant nullspace
+is projected out of the RHS and the solution mean is removed — mirroring
+``NullSpace.remove`` + the explicit mean shift (fracstep.py:573-591).
+
+All solvers return (x, iters, final residual norm); convergence status is
+surfaced as a value from jitted code (SURVEY §5 failure-detection note).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class KrylovResult(NamedTuple):
+    x: jax.Array
+    iters: jax.Array  # int32
+    resnorm: jax.Array  # final residual 2-norm
+    converged: jax.Array  # bool
+
+
+def _identity(x):
+    return x
+
+
+def cg(
+    A: Callable,
+    b: jax.Array,
+    x0: jax.Array | None = None,
+    M: Callable | None = None,
+    rtol: float = 1e-10,
+    atol: float = 1e-50,
+    maxiter: int = 1000,
+    project_nullspace: bool = False,
+) -> KrylovResult:
+    """Preconditioned conjugate gradients for SPD operators.
+
+    If ``project_nullspace`` the constant vector is removed from b, every
+    iterate update, and the final solution (singular Neumann Poisson).
+    """
+    M = M or _identity
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+
+    def demean(v):
+        return v - jnp.mean(v) if project_nullspace else v
+
+    b = demean(b)
+    bnorm = jnp.linalg.norm(b)
+    tol = jnp.maximum(rtol * bnorm, atol)
+
+    r = demean(b - A(x0))
+    z = M(r)
+    p = z
+    rz = jnp.vdot(r, z)
+    rnorm = jnp.linalg.norm(r)
+
+    def cond(state):
+        x, r, z, p, rz, k, rnorm = state
+        return (rnorm > tol) & (k < maxiter)
+
+    def body(state):
+        x, r, z, p, rz, k, rnorm = state
+        Ap = demean(A(p))
+        pAp = jnp.vdot(p, Ap)
+        alpha = rz / jnp.where(pAp != 0, pAp, 1.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = M(r)
+        rz_new = jnp.vdot(r, z)
+        beta = rz_new / jnp.where(rz != 0, rz, 1.0)
+        p = z + beta * p
+        return (x, r, z, p, rz_new, k + 1, jnp.linalg.norm(r))
+
+    x, r, z, p, rz, k, rnorm = jax.lax.while_loop(
+        cond, body, (x0, r, z, p, rz, jnp.int32(0), rnorm)
+    )
+    x = demean(x) if project_nullspace else x
+    return KrylovResult(x, k, rnorm, rnorm <= tol)
+
+
+def bicgstab(
+    A: Callable,
+    b: jax.Array,
+    x0: jax.Array | None = None,
+    M: Callable | None = None,
+    rtol: float = 1e-10,
+    atol: float = 1e-50,
+    maxiter: int = 1000,
+) -> KrylovResult:
+    """Preconditioned BiCGStab for nonsymmetric operators (tentative
+    velocity: convection makes A nonsymmetric, fracstep.py:435-442)."""
+    M = M or _identity
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    bnorm = jnp.linalg.norm(b)
+    tol = jnp.maximum(rtol * bnorm, atol)
+
+    r = b - A(x0)
+    rhat = r
+    rho = jnp.vdot(rhat, r)
+    p = r
+    rnorm = jnp.linalg.norm(r)
+
+    def cond(state):
+        x, r, p, rho, k, rnorm = state
+        return (rnorm > tol) & (k < maxiter)
+
+    def body(state):
+        x, r, p, rho, k, rnorm = state
+        phat = M(p)
+        v = A(phat)
+        rv = jnp.vdot(rhat, v)
+        alpha = rho / jnp.where(rv != 0, rv, 1.0)
+        s = r - alpha * v
+        shat = M(s)
+        t = A(shat)
+        tt = jnp.vdot(t, t)
+        omega = jnp.vdot(t, s) / jnp.where(tt != 0, tt, 1.0)
+        x = x + alpha * phat + omega * shat
+        r = s - omega * t
+        rho_new = jnp.vdot(rhat, r)
+        beta = (rho_new / jnp.where(rho != 0, rho, 1.0)) * (
+            alpha / jnp.where(omega != 0, omega, 1.0)
+        )
+        p = r + beta * (p - omega * v)
+        return (x, r, p, rho_new, k + 1, jnp.linalg.norm(r))
+
+    x, r, p, rho, k, rnorm = jax.lax.while_loop(
+        cond, body, (x0, r, p, rho, jnp.int32(0), rnorm)
+    )
+    return KrylovResult(x, k, rnorm, rnorm <= tol)
+
+
+def jacobi_preconditioner(diag: jax.Array) -> Callable:
+    inv = jnp.where(diag != 0, 1.0 / jnp.where(diag != 0, diag, 1.0), 1.0)
+    return lambda r: inv * r

@@ -1,0 +1,118 @@
+"""PETSc-options-shaped solver configuration wrapper.
+
+The equivalent of the reference's ``KSPSolver`` (src/oasisx/ksp.py:14-91)
+and its options-prefix discipline: plain nested dicts, no global mutable
+options database (SURVEY §5 config note). PETSc option names are accepted
+and translated:
+
+    ksp_type: cg | bcgs/bicgstab | preonly      (preonly -> tight Krylov)
+    pc_type:  jacobi | none | lu                (lu -> tight Krylov, SURVEY §4)
+    ksp_rtol / ksp_atol / ksp_max_it
+    ksp_error_if_not_converged
+
+``solve`` is jit-friendly: method/tolerances are static Python values;
+the returned converged reason is a traced value (>0 converged, <0 not),
+matching the reference's use of ``ConvergedReason`` ints
+(fracstep.py:681-684).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+
+from .krylov import KrylovResult, bicgstab, cg, jacobi_preconditioner
+
+
+class KSPSolver:
+    """Config container + dispatcher for one linear solve family."""
+
+    def __init__(
+        self,
+        options: dict | None = None,
+        prefix: str = "",
+        symmetric: bool = True,
+    ):
+        self.prefix = prefix
+        self.symmetric = symmetric
+        self.options: dict = {}
+        self._matvec: Callable | None = None
+        self._pc: Callable | None = None
+        self.updateOptions(options or {})
+
+    # --- reference-API surface (ksp.py:38-61) ------------------------------
+    def updateOptions(self, options: dict) -> None:
+        self.options.update(options or {})
+
+    def setOptions(self, *_args) -> None:
+        """Compatibility no-op: options take effect at solve time."""
+
+    def setOperators(self, matvec: Callable, diag=None) -> None:
+        self._matvec = matvec
+        self._pc = None if diag is None else jacobi_preconditioner(diag)
+
+    # --- resolved solve parameters -----------------------------------------
+    @property
+    def method(self) -> str:
+        kt = str(self.options.get("ksp_type", "cg" if self.symmetric else "bcgs")).lower()
+        pc = str(self.options.get("pc_type", "jacobi")).lower()
+        if kt == "preonly" or pc == "lu":
+            return "cg" if self.symmetric else "bcgs"
+        if kt in ("bcgs", "bicgstab"):
+            return "bcgs"
+        if kt == "cg":
+            return "cg"
+        raise ValueError(f"unsupported ksp_type {kt!r}")
+
+    @property
+    def rtol(self) -> float:
+        if "ksp_rtol" in self.options:
+            return float(self.options["ksp_rtol"])
+        kt = str(self.options.get("ksp_type", "")).lower()
+        pc = str(self.options.get("pc_type", "")).lower()
+        # 'preonly + lu' reference configs demand near-exact solves
+        if kt == "preonly" or pc == "lu":
+            return 1e-13
+        return 1e-8
+
+    @property
+    def atol(self) -> float:
+        return float(self.options.get("ksp_atol", 1e-50))
+
+    @property
+    def maxiter(self) -> int:
+        return int(self.options.get("ksp_max_it", 5000))
+
+    def use_jacobi(self) -> bool:
+        return str(self.options.get("pc_type", "jacobi")).lower() not in ("none",)
+
+    # --- solve --------------------------------------------------------------
+    def solve(
+        self,
+        b,
+        x0=None,
+        nullspace: bool = False,
+    ) -> KrylovResult:
+        if self._matvec is None:
+            raise RuntimeError("setOperators must be called before solve")
+        M = self._pc if (self._pc is not None and self.use_jacobi()) else None
+        if self.method == "cg":
+            return cg(
+                self._matvec,
+                b,
+                x0=x0,
+                M=M,
+                rtol=self.rtol,
+                atol=self.atol,
+                maxiter=self.maxiter,
+                project_nullspace=nullspace,
+            )
+        return bicgstab(
+            self._matvec, b, x0=x0, M=M, rtol=self.rtol, atol=self.atol, maxiter=self.maxiter
+        )
+
+    @staticmethod
+    def converged_reason(result: KrylovResult):
+        """PETSc-style reason: 2 (rtol) if converged else -3 (max_it)."""
+        return jnp.where(result.converged, jnp.int32(2), jnp.int32(-3))

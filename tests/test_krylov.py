@@ -1,0 +1,135 @@
+"""Krylov solver tests: SPD/nonsymmetric systems, preconditioning,
+nullspace projection, FEM Poisson vs scipy direct solve."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse.linalg
+
+from oasisx_tpu.assembly import engine as eng
+from oasisx_tpu.la import KSPSolver, bicgstab, cg, jacobi_preconditioner
+from oasisx_tpu.meshes import create_unit_square
+from oasisx_tpu.spaces import FunctionSpace
+
+
+def test_cg_dense_spd():
+    rng = np.random.RandomState(0)
+    n = 50
+    Q = rng.randn(n, n)
+    A = Q @ Q.T + n * np.eye(n)
+    b = rng.randn(n)
+    Aj = jnp.asarray(A)
+    res = cg(lambda x: Aj @ x, jnp.asarray(b), rtol=1e-12)
+    assert bool(res.converged)
+    assert np.linalg.norm(A @ np.asarray(res.x) - b) < 1e-9
+
+
+def test_cg_jacobi_accelerates():
+    rng = np.random.RandomState(1)
+    n = 100
+    d = np.linspace(1, 1e4, n)
+    A = np.diag(d)
+    A[0, 1] = A[1, 0] = 1.0
+    b = rng.randn(n)
+    Aj = jnp.asarray(A)
+    res_plain = cg(lambda x: Aj @ x, jnp.asarray(b), rtol=1e-10, maxiter=10000)
+    res_pc = cg(
+        lambda x: Aj @ x,
+        jnp.asarray(b),
+        M=jacobi_preconditioner(jnp.asarray(d)),
+        rtol=1e-10,
+        maxiter=10000,
+    )
+    assert bool(res_pc.converged)
+    assert int(res_pc.iters) < int(res_plain.iters)
+
+
+def test_bicgstab_nonsymmetric():
+    rng = np.random.RandomState(2)
+    n = 60
+    A = np.eye(n) * 10 + rng.randn(n, n) * 0.5
+    b = rng.randn(n)
+    Aj = jnp.asarray(A)
+    res = bicgstab(lambda x: Aj @ x, jnp.asarray(b), rtol=1e-12, maxiter=500)
+    assert bool(res.converged)
+    assert np.linalg.norm(A @ np.asarray(res.x) - b) < 1e-8
+
+
+def test_cg_singular_neumann_poisson():
+    """FEM Neumann Poisson (singular, constant nullspace): CG with nullspace
+    projection matches the scipy least-squares/shifted solution up to a
+    constant — the reference's mean-zero convention (fracstep.py:579-591)."""
+    mesh = create_unit_square(8)
+    Q = FunctionSpace(mesh, ("Lagrange", 1))
+    ctx, _ = eng.build_device_context(
+        mesh, Q.element, Q.dofmap.cell_dofs, Q.num_dofs, Q.element, Q.dofmap.cell_dofs, Q.num_dofs
+    )
+    elems = eng.stiffness_q_elems(ctx)
+    cd = np.asarray(ctx.cd_q)
+    A = eng.elems_to_dense(np.asarray(elems), cd, cd, Q.num_dofs, Q.num_dofs)
+    rng = np.random.RandomState(3)
+    b = rng.randn(Q.num_dofs)
+    b -= b.mean()  # compatible RHS
+    matvec = lambda x: eng.matvec_q(ctx, elems, x)
+    diag = eng.diagonal_q(ctx, elems)
+    res = cg(
+        matvec,
+        jnp.asarray(b),
+        M=jacobi_preconditioner(diag),
+        rtol=1e-12,
+        project_nullspace=True,
+        maxiter=2000,
+    )
+    assert bool(res.converged)
+    x = np.asarray(res.x)
+    assert abs(x.mean()) < 1e-10
+    r = A @ x - b
+    assert np.linalg.norm(r - r.mean()) < 1e-8
+
+
+def test_fem_dirichlet_poisson_vs_scipy():
+    """-lap u = f with u=g on boundary, via BC row masking, vs scipy dense."""
+    mesh = create_unit_square(8)
+    V = FunctionSpace(mesh, ("Lagrange", 2))
+    ctx, _ = eng.build_device_context(
+        mesh, V.element, V.dofmap.cell_dofs, V.num_dofs, V.element, V.dofmap.cell_dofs, V.num_dofs
+    )
+    elems = eng.stiffness_elems(ctx)
+    bc = V.locate_dofs_geometrical(
+        lambda x: np.isclose(x[0], 0) | np.isclose(x[0], 1) | np.isclose(x[1], 0) | np.isclose(x[1], 1)
+    )
+    mask_np = np.zeros(V.num_dofs, dtype=bool)
+    mask_np[bc] = True
+    mask = jnp.asarray(mask_np)
+    xcoord = V.dof_coords
+    gvals = xcoord[:, 0] ** 2 - xcoord[:, 1] ** 2  # harmonic: u = x^2 - y^2, f = 0
+    rhs = np.zeros(V.num_dofs)
+    rhs[bc] = gvals[bc]
+
+    matvec = lambda x: eng.apply_bc_rows(mask, eng.matvec_v(ctx, elems, x), x)
+    diag = jnp.where(mask, 1.0, eng.diagonal_v(ctx, elems))
+    res = bicgstab(matvec, jnp.asarray(rhs), M=jacobi_preconditioner(diag), rtol=1e-13, maxiter=5000)
+    assert bool(res.converged)
+    # harmonic polynomial in P2 is reproduced exactly by the FEM solve
+    assert np.abs(np.asarray(res.x) - gvals).max() < 1e-7
+
+
+def test_ksp_solver_wrapper_and_jit():
+    rng = np.random.RandomState(5)
+    n = 40
+    Q = rng.randn(n, n)
+    A = Q @ Q.T + n * np.eye(n)
+    Aj = jnp.asarray(A)
+    solver = KSPSolver({"ksp_type": "preonly", "pc_type": "lu"}, prefix="pressure_correction")
+    solver.setOperators(lambda x: Aj @ x, diag=jnp.diag(Aj))
+    b = jnp.asarray(rng.randn(n))
+
+    @jax.jit
+    def run(b):
+        res = solver.solve(b)
+        return res.x, KSPSolver.converged_reason(res)
+
+    x, reason = run(b)
+    assert int(reason) > 0
+    assert np.linalg.norm(A @ np.asarray(x) - np.asarray(b)) < 1e-8
