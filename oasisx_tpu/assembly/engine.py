@@ -181,6 +181,20 @@ def matvec_q(ctx: DeviceContext, elems: jax.Array, x: jax.Array) -> jax.Array:
     return scatter_add(ye, ctx.cd_q, ctx.ndofs_q)
 
 
+def matvec_vq(ctx: DeviceContext, elems: jax.Array, p: jax.Array) -> jax.Array:
+    """y_V = B p for a mixed operator with element matrices (nc, ndv, ndq)
+    (preassembled p*v.dx(i) matrices, fracstep.py:311-315,501)."""
+    ye = jnp.einsum("cjm,cm->cj", elems, p[ctx.cd_q])
+    return scatter_add(ye, ctx.cd_v, ctx.ndofs_v)
+
+
+def matvec_qv(ctx: DeviceContext, elems: jax.Array, u: jax.Array) -> jax.Array:
+    """y_Q = D u for a mixed operator with element matrices (nc, ndq, ndv)
+    (preassembled u.dx(i) q matrices, fracstep.py:332-336,541)."""
+    ye = jnp.einsum("cmj,cj->cm", elems, u[ctx.cd_v])
+    return scatter_add(ye, ctx.cd_q, ctx.ndofs_q)
+
+
 def diagonal_v(ctx: DeviceContext, elems: jax.Array) -> jax.Array:
     d = jnp.einsum("cii->ci", elems)
     return scatter_add(d, ctx.cd_v, ctx.ndofs_v)

@@ -1,0 +1,571 @@
+"""IPCS fractional-step Navier-Stokes solver (Adams-Bashforth convection,
+Crank-Nicolson diffusion) — the TPU-native rebuild of the reference engine
+(/root/reference/src/oasisx/fracstep.py:29-705).
+
+Architecture (SURVEY §7): host-side setup produces a static pytree of device
+arrays (dofmaps, geometry, reference tensors, BC masks); the entire time
+step — convection assembly, tentative-velocity solves, pressure Poisson,
+velocity update, inner iteration loop — is ONE jitted XLA program
+(``solve``/``run``), with ``lax.while_loop`` for the inner iteration and the
+Krylov loops. Matrices are stored element-matrix stacks; "axpy on shared
+sparsity" (fracstep.py:438-442) is elementwise; Dirichlet row zeroing is a
+matvec-time mask.
+
+Step semantics (matching reference :411-472, :474-525, :527-605, :607-658):
+
+  A_rhs = -1/2 C(uab) + (1/dt) M - (nu/2) K          [uab = 1.5 u1 - 0.5 u2]
+  b_first_i = A_rhs u1_i + b0_i + surface(h, i)
+  A_lhs = -A_rhs + (2/dt) M = (1/dt) M + 1/2 C + (nu/2) K, bc rows -> identity
+  inner loop (k < max_iter and diff > max_error):
+      rhs_i = b_first_i + assemble(ps * v.dx(i));  rhs_i[bc] = g_i
+      solve A_lhs u_i = rhs_i                      (BiCGStab + Jacobi)
+      b2 = -(1/dt) assemble(div u q);  b2[pbc] = 0
+      solve Ap dp = b2                             (CG; nullspace if no outlet)
+      ps = p + dp    (or rotational: ps = Proj_Q[p + dp - xi nu div u])
+  velocity update: solve M u_i = M u_i - dt assemble(dp.dx(i) v)  (no bc:
+      reference intentionally skips re-application, fracstep.py:624-631)
+  rotate u2 <- u1 <- u;  p <- ps
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .assembly import engine as eng
+from .bcs import DirichletBC, PressureBC, bc_mask_and_values
+from .config import real_dtype
+from .elements.element import FiniteElement, make_element
+from .la import KSPSolver, bicgstab, cg, jacobi_preconditioner
+from .la.krylov import KrylovResult
+from .meshes.mesh import Mesh
+from .spaces.functionspace import Function, FunctionSpace
+
+__all__ = ["FractionalStep_AB_CN"]
+
+logger = logging.getLogger("oasisx_tpu")
+
+
+class FractionalStep_AB_CN:
+    """Fractional-step solver with AB2-linearized convection and CN diffusion.
+
+    Args mirror the reference (fracstep.py:149-160): ``mesh``, ``u_element``
+    / ``p_element`` as ("Lagrange", degree) tuples or FiniteElements,
+    per-component velocity Dirichlet BCs, pressure outlet BCs, ``rotational``
+    pressure update, per-step solver options keyed ``tentative`` /
+    ``pressure`` / ``scalar``, ``body_force``, and
+    ``options={"low_memory_version": bool}`` selecting direct vector
+    assembly (True, default — the TPU-preferred action strategy) vs
+    preassembled mixed matrices (False).
+    """
+
+    def __init__(
+        self,
+        mesh: Mesh,
+        u_element,
+        p_element,
+        bcs_u: list[list[DirichletBC]],
+        bcs_p: list[PressureBC],
+        rotational: bool = False,
+        solver_options: dict | None = None,
+        jit_options: dict | None = None,
+        body_force=None,
+        options: dict | None = None,
+        dtype=None,
+    ):
+        self._mesh = mesh
+        self._dtype = real_dtype(dtype)
+        d = mesh.dim
+        el_u = make_element(u_element, mesh.cell_type)
+        el_p = make_element(p_element, mesh.cell_type)
+
+        # --- function spaces (fracstep.py:186-216) -------------------------
+        self._V = FunctionSpace(mesh, el_u, shape=(d,))
+        self._Q = FunctionSpace(mesh, el_p)
+        self._Vi = [self._V.sub(i).collapse() for i in range(d)]
+        Vi0 = self._Vi[0][0]
+        self._sol_u = Function(self._V, name="u")
+
+        mk = lambda name: Function(Vi0, name=name)
+        self._u = [mk(f"u{i}") for i in range(d)]
+        self._u1 = [mk(f"u_{i}1") for i in range(d)]
+        self._u2 = [mk(f"u_{i}2") for i in range(d)]
+        self._uab = [mk(f"u_{i}ab") for i in range(d)]
+        self._rhs1 = [mk(f"rhs1_{i}") for i in range(d)]
+        self._b_first = [mk(f"b_first_{i}") for i in range(d)]
+        self._b0 = [mk(f"b0_{i}") for i in range(d)]
+        self._ps = Function(self._Q, name="ps")
+        self._p = Function(self._Q, name="p")
+        self._dp = Function(self._Q, name="dp")
+        self._b2 = Function(self._Q, name="b2")
+
+        # --- boundary conditions (fracstep.py:196-200, 219-227) ------------
+        self._bcs_u = bcs_u
+        for bc_i, (Vi, _) in zip(self._bcs_u, self._Vi):
+            for bc in bc_i:
+                bc.create_bc(Vi)
+        self._bcs_p = bcs_p
+
+        # --- device context ------------------------------------------------
+        self._ctx, self._refs = eng.build_device_context(
+            mesh,
+            el_u,
+            Vi0.dofmap.cell_dofs,
+            Vi0.num_dofs,
+            el_p,
+            self._Q.dofmap.cell_dofs,
+            self._Q.num_dofs,
+            dtype=self._dtype,
+        )
+        for bcp in self._bcs_p:
+            bcp.create_bcs(Vi0, self._Q)
+
+        # --- solvers (fracstep.py:230-255) ---------------------------------
+        solver_options = {} if solver_options is None else solver_options
+        self._solver_u = KSPSolver(
+            solver_options.get("tentative"), prefix="tentative_velocity", symmetric=False
+        )
+        self._solver_p = KSPSolver(
+            solver_options.get("pressure"), prefix="pressure_correction", symmetric=True
+        )
+        self._solver_c = KSPSolver(
+            solver_options.get("scalar"), prefix="velocity_update", symmetric=True
+        )
+        self._rotational = rotational
+        self._xi = 0.5 if rotational else None
+
+        options = options or {}
+        self._low_memory = bool(options.get("low_memory_version", True))
+
+        self._body_force = body_force
+        self._compile_and_allocate_forms()
+        self._preassemble()
+        self._build_step()
+
+        # mirrors of reference state for the split-phase API
+        self._A_elems = None
+        self.last_stats: dict = {}
+
+    # ------------------------------------------------------------------
+    # setup
+    # ------------------------------------------------------------------
+    def _compile_and_allocate_forms(self) -> None:
+        """BC masks/values and static per-problem arrays (the jit-time
+        analogue of form compilation + matrix allocation,
+        fracstep.py:277-358)."""
+        d = self._mesh.dim
+        nv = self._Vi[0][0].num_dofs
+        nq = self._Q.num_dofs
+        masks, vals = [], []
+        for bc_i in self._bcs_u:
+            m, v = bc_mask_and_values(bc_i, nv)
+            masks.append(m)
+            vals.append(v)
+        self._bc_masks = jnp.asarray(np.stack(masks)) if d else None  # (d, nv) bool
+        # matrix rows use component-0 bcs: reference NOTE at fracstep.py:470
+        self._bc_mask0 = jnp.asarray(masks[0])
+        pmask = np.zeros(nq, dtype=bool)
+        for bcp in self._bcs_p:
+            pmask[bcp.dofs] = True
+        self._pbc_mask = jnp.asarray(pmask)
+        self._have_pbc = bool(pmask.any()) or len(self._bcs_p) > 0
+
+    def _preassemble(self) -> None:
+        """Constant element matrices and body-force vectors
+        (fracstep.py:360-409)."""
+        ctx = self._ctx
+        d = self._mesh.dim
+        self._M_elems = eng.mass_elems(ctx)
+        self._K_elems = eng.stiffness_elems(ctx)
+        self._Ap_elems = eng.stiffness_q_elems(ctx)
+        self._Mq_elems = eng.mass_q_elems(ctx)
+        self._M_diag = eng.diagonal_v(ctx, self._M_elems)
+        ap_diag = eng.diagonal_q(ctx, self._Ap_elems)
+        self._Ap_diag = jnp.where(self._pbc_mask, 1.0, ap_diag) if self._have_pbc else ap_diag
+        self._vol = float(eng.cell_volume_total(ctx))
+
+        # body force (fracstep.py:283-289, 386-390)
+        f = self._body_force
+        if f is None:
+            f = (0.0,) * d
+        b0 = []
+        for i in range(d):
+            fi = f[i]
+            fi = getattr(fi, "value", fi)
+            if callable(fi):
+                # spatially varying: evaluate at quadrature points
+                from .forms.expr import QPEvaluator
+
+                ev = QPEvaluator(self._mesh, 2 * self._V.element.degree + 2, self._dtype)
+                xq = np.asarray(ev.xq)
+                pad = np.zeros((3,) + xq.shape[:2])
+                pad[: xq.shape[2]] = np.moveaxis(xq, 2, 0)
+                b0.append(np.asarray(eng.source_load_vec_v(ctx, jnp.asarray(fi(pad)))))
+            else:
+                b0.append(np.asarray(eng.constant_load_vec(ctx, jnp.asarray(float(fi)))))
+            self._b0[i].x.array[:] = b0[i]
+        self._b0_dev = jnp.asarray(np.stack(b0), dtype=self._dtype)
+
+        # preassembled mixed matrices (low_memory=False, fracstep.py:392-404)
+        if not self._low_memory:
+            pg = eng.pressure_gradient_mats(ctx)  # (d, nc, ndv, ndq)
+            self._p_vdxi_elems = pg
+            self._divu_elems = jnp.swapaxes(pg, 2, 3)  # (d, nc, ndq, ndv)
+            self._grad_p_elems = eng.grad_p_mats(ctx)
+        # symmetric-bc mass (reference _M_bcs, fracstep.py:406-409, kept for
+        # API parity; the velocity update uses plain M, fracstep.py:273)
+
+    # ------------------------------------------------------------------
+    # device-side step pieces (pure functions of arrays)
+    # ------------------------------------------------------------------
+    def _surface_vecs(self, h_qvals: list) -> jax.Array | None:
+        """Sum of outlet surface contributions over all PressureBCs:
+        (d, ndofs_v) (fracstep.py:461-465)."""
+        if not self._bcs_p:
+            return None
+        from .assembly.facets import pressure_surface_vecs
+
+        out = None
+        for bcp, hq in zip(self._bcs_p, h_qvals):
+            v = pressure_surface_vecs(self._ctx, bcp.facet_context, hq)
+            out = v if out is None else out + v
+        return out
+
+    def _assemble_first_dev(self, u1, u2, dt, nu, p_surf):
+        ctx = self._ctx
+        uab = 1.5 * u1 - 0.5 * u2
+        C = eng.convection_elems(ctx, uab)
+        A_rhs = -0.5 * C + (1.0 / dt) * self._M_elems - 0.5 * nu * self._K_elems
+        b_first = jax.vmap(lambda ui: eng.matvec_v(ctx, A_rhs, ui))(u1) + self._b0_dev
+        if p_surf is not None:
+            b_first = b_first + p_surf
+        A_lhs = -A_rhs + (2.0 / dt) * self._M_elems
+        return uab, A_lhs, b_first
+
+    def _tentative_matvec(self, A_lhs):
+        ctx, mask0 = self._ctx, self._bc_mask0
+        return lambda x: eng.apply_bc_rows(mask0, eng.matvec_v(ctx, A_lhs, x), x)
+
+    def _tentative_assemble_dev(self, b_first, ps):
+        ctx = self._ctx
+        if self._low_memory:
+            pv = eng.pressure_gradient_vecs(ctx, ps)
+        else:
+            pv = jax.vmap(lambda e: eng.matvec_vq(ctx, e, ps))(self._p_vdxi_elems)
+        return b_first + pv
+
+    def _tentative_solve_dev(self, A_lhs, rhs1, bc_vals, u):
+        """Solve per component; returns (u_new, diff, iters, converged)."""
+        ctx = self._ctx
+        matvec = self._tentative_matvec(A_lhs)
+        diag = jnp.where(self._bc_mask0, 1.0, eng.diagonal_v(ctx, A_lhs))
+        M = jacobi_preconditioner(diag)
+        s = self._solver_u
+        us, iters, conv, diff = [], [], [], 0.0
+        for i in range(self._mesh.dim):
+            rhs = jnp.where(self._bc_masks[i], bc_vals[i], rhs1[i])
+            if s.method == "cg":
+                res = cg(matvec, rhs, x0=u[i], M=M, rtol=s.rtol, atol=s.atol, maxiter=s.maxiter)
+            else:
+                res = bicgstab(
+                    matvec, rhs, x0=u[i], M=M, rtol=s.rtol, atol=s.atol, maxiter=s.maxiter
+                )
+            us.append(res.x)
+            iters.append(res.iters)
+            conv.append(res.converged)
+            diff = diff + jnp.linalg.norm(res.x - u[i])
+        return jnp.stack(us), diff, jnp.stack(iters), jnp.stack(conv)
+
+    def _pressure_assemble_dev(self, u, dt):
+        ctx = self._ctx
+        if self._low_memory:
+            b2 = eng.divergence_vec(ctx, u)
+        else:
+            b2 = jnp.zeros(ctx.ndofs_q, dtype=u.dtype)
+            for i in range(self._mesh.dim):
+                b2 = b2 + eng.matvec_qv(ctx, self._divu_elems[i], u[i])
+        b2 = -(1.0 / dt) * b2
+        if self._have_pbc:
+            b2 = jnp.where(self._pbc_mask, 0.0, b2)
+        return b2
+
+    def _pressure_solve_dev(self, b2, p, dp0, u, nu):
+        ctx = self._ctx
+        s = self._solver_p
+        M = jacobi_preconditioner(self._Ap_diag)
+        if self._have_pbc:
+            matvec = lambda x: eng.bc_symmetric_matvec(
+                ctx, self._Ap_elems, self._pbc_mask, x, eng.matvec_q
+            )
+            res = cg(matvec, b2, x0=dp0, M=M, rtol=s.rtol, atol=s.atol, maxiter=s.maxiter)
+            dp = res.x
+        else:
+            matvec = lambda x: eng.matvec_q(ctx, self._Ap_elems, x)
+            res = cg(
+                matvec,
+                b2,
+                x0=dp0 - jnp.mean(dp0),
+                M=M,
+                rtol=s.rtol,
+                atol=s.atol,
+                maxiter=s.maxiter,
+                project_nullspace=True,
+            )
+            # L2 (volume-weighted) zero mean, reference fracstep.py:579-591
+            dp = res.x
+            phi_avg = eng.integrate(ctx, eng.eval_q_at_qp(ctx, dp)) / self._vol
+            dp = dp - phi_avg
+        if self._rotational:
+            # ps = Proj_Q(p + dp - xi nu div u)   (fracstep.py:237-247,593-604)
+            rhs = eng.matvec_q(ctx, self._Mq_elems, p + dp) - self._xi * nu * (
+                eng.source_load_vec_q(ctx, self._div_u_qp(u))
+            )
+            mq_diag = eng.diagonal_q(ctx, self._Mq_elems)
+            sc = self._solver_c
+            res_rot = cg(
+                lambda x: eng.matvec_q(ctx, self._Mq_elems, x),
+                rhs,
+                x0=p + dp,
+                M=jacobi_preconditioner(mq_diag),
+                rtol=sc.rtol,
+                atol=sc.atol,
+                maxiter=sc.maxiter,
+            )
+            ps = res_rot.x
+        else:
+            ps = p + dp
+        return dp, ps, res.iters, res.converged
+
+    def _div_u_qp(self, u):
+        """div(u) at quadrature points: (nc, nq)."""
+        ctx = self._ctx
+        out = None
+        for i in range(self._mesh.dim):
+            gi = eng.grad_v_at_qp(ctx, u[i])[:, :, i]
+            out = gi if out is None else out + gi
+        return out
+
+    def _velocity_update_dev(self, u, dp, dt):
+        ctx = self._ctx
+        if self._low_memory:
+            g = eng.grad_p_vecs(ctx, dp)
+        else:
+            g = jax.vmap(lambda e: eng.matvec_vq(ctx, e, dp))(self._grad_p_elems)
+        matvec = lambda x: eng.matvec_v(ctx, self._M_elems, x)
+        M = jacobi_preconditioner(self._M_diag)
+        sc = self._solver_c
+        us, iters, conv = [], [], []
+        for i in range(self._mesh.dim):
+            b3 = eng.matvec_v(ctx, self._M_elems, u[i]) - dt * g[i]
+            res = cg(matvec, b3, x0=u[i], M=M, rtol=sc.rtol, atol=sc.atol, maxiter=sc.maxiter)
+            us.append(res.x)
+            iters.append(res.iters)
+            conv.append(res.converged)
+        return jnp.stack(us), jnp.stack(iters), jnp.stack(conv)
+
+    # ------------------------------------------------------------------
+    # fused jitted step
+    # ------------------------------------------------------------------
+    def _build_step(self) -> None:
+        def step(state, dt, nu, bc_vals, p_surf, max_error, max_iter):
+            u, u1, u2, p = state["u"], state["u1"], state["u2"], state["p"]
+            ps = p
+            uab, A_lhs, b_first = self._assemble_first_dev(u1, u2, dt, nu, p_surf)
+
+            def cond(carry):
+                u, ps, dp, diff, it, stats = carry
+                return (it < max_iter) & (diff > max_error)
+
+            def body(carry):
+                u, ps, dp, diff, it, stats = carry
+                rhs1 = self._tentative_assemble_dev(b_first, ps)
+                u, diff, u_iters, u_conv = self._tentative_solve_dev(A_lhs, rhs1, bc_vals, u)
+                b2 = self._pressure_assemble_dev(u, dt)
+                dp, ps, p_iters, p_conv = self._pressure_solve_dev(b2, p, dp, u, nu)
+                stats = dict(
+                    u_iters=u_iters,
+                    u_converged=u_conv,
+                    p_iters=p_iters,
+                    p_converged=p_conv,
+                )
+                return (u, ps, dp, diff, it + 1, stats)
+
+            zero_stats = dict(
+                u_iters=jnp.zeros(self._mesh.dim, jnp.int32),
+                u_converged=jnp.zeros(self._mesh.dim, bool),
+                p_iters=jnp.int32(0),
+                p_converged=jnp.asarray(False),
+            )
+            dp0 = state["dp"]
+            big = jnp.asarray(1e8, dtype=u.dtype)
+            u, ps, dp, diff, it, stats = jax.lax.while_loop(
+                cond, body, (u, ps, dp0, big, jnp.int32(0), zero_stats)
+            )
+            u, c_iters, c_conv = self._velocity_update_dev(u, dp, dt)
+            new_state = dict(u=u, u1=u, u2=u1, p=ps, dp=dp)
+            stats = dict(stats, c_iters=c_iters, c_converged=c_conv, inner_iters=it, diff=diff)
+            return new_state, stats
+
+        self._step_fn = jax.jit(step, static_argnames=("max_iter",))
+
+    # ------------------------------------------------------------------
+    # host orchestration + reference split-phase API
+    # ------------------------------------------------------------------
+    def _state_from_functions(self) -> dict:
+        f = lambda fs: jnp.asarray(np.stack([g.x.array for g in fs]), dtype=self._dtype)
+        return dict(
+            u=f(self._u),
+            u1=f(self._u1),
+            u2=f(self._u2),
+            p=jnp.asarray(self._p.x.array, dtype=self._dtype),
+            dp=jnp.asarray(self._dp.x.array, dtype=self._dtype),
+        )
+
+    def _state_to_functions(self, state: dict) -> None:
+        for i in range(self._mesh.dim):
+            self._u[i].x.array[:] = np.asarray(state["u"][i])
+            self._u1[i].x.array[:] = np.asarray(state["u1"][i])
+            self._u2[i].x.array[:] = np.asarray(state["u2"][i])
+        self._p.x.array[:] = np.asarray(state["p"])
+        self._ps.x.array[:] = np.asarray(state["p"])
+        self._dp.x.array[:] = np.asarray(state["dp"])
+
+    def _bc_value_arrays(self) -> jax.Array:
+        nv = self._Vi[0][0].num_dofs
+        out = np.zeros((self._mesh.dim, nv))
+        for i, bc_i in enumerate(self._bcs_u):
+            for bc in bc_i:
+                out[i, bc.dofs] = bc.values
+        return jnp.asarray(out, dtype=self._dtype)
+
+    def _pressure_surface(self):
+        if not self._bcs_p:
+            return None
+        hq = [bcp.value_at_facet_qp(self._ctx) for bcp in self._bcs_p]
+        return self._surface_vecs(hq)
+
+    def solve(self, dt: float, nu: float, max_error: float = 1e-12, max_iter: int = 10):
+        """Propagate one time step (reference fracstep.py:660-696)."""
+        for bc_i in self._bcs_u:
+            for bc in bc_i:
+                bc.update_bc()
+        for bcp in self._bcs_p:
+            bcp.update_bc()
+        state = self._state_from_functions()
+        dt_ = jnp.asarray(dt, dtype=self._dtype)
+        nu_ = jnp.asarray(nu, dtype=self._dtype)
+        state, stats = self._step_fn(
+            state,
+            dt_,
+            nu_,
+            self._bc_value_arrays(),
+            self._pressure_surface(),
+            jnp.asarray(max_error, dtype=self._dtype),
+            max_iter,
+        )
+        self._state_to_functions(state)
+        self.last_stats = {k: np.asarray(v) for k, v in stats.items()}
+        if not (
+            self.last_stats["u_converged"].all()
+            and self.last_stats["p_converged"]
+            and self.last_stats["c_converged"].all()
+        ):
+            logger.warning("solver did not converge: %s", self.last_stats)
+        self.u  # refresh vector output (fracstep.py:695)
+        return float(self.last_stats["diff"])
+
+    # --- split-phase methods (eager, for differential tests mirroring
+    # test/test_tentative_velocity.py usage) --------------------------------
+    def assemble_first(self, dt: float, nu: float) -> None:
+        for i in range(self._mesh.dim):
+            self._uab[i].x.array[:] = 1.5 * self._u1[i].x.array - 0.5 * self._u2[i].x.array
+        u1 = jnp.asarray(np.stack([g.x.array for g in self._u1]), dtype=self._dtype)
+        u2 = jnp.asarray(np.stack([g.x.array for g in self._u2]), dtype=self._dtype)
+        for bcp in self._bcs_p:
+            bcp.update_bc()
+        uab, A_lhs, b_first = self._assemble_first_dev(
+            u1,
+            u2,
+            jnp.asarray(dt, dtype=self._dtype),
+            jnp.asarray(nu, dtype=self._dtype),
+            self._pressure_surface(),
+        )
+        self._A_elems = A_lhs
+        for i in range(self._mesh.dim):
+            self._b_first[i].x.array[:] = np.asarray(b_first[i])
+
+    def velocity_tentative_assemble(self) -> None:
+        b_first = jnp.asarray(
+            np.stack([g.x.array for g in self._b_first]), dtype=self._dtype
+        )
+        rhs1 = self._tentative_assemble_dev(b_first, jnp.asarray(self._ps.x.array, self._dtype))
+        for i in range(self._mesh.dim):
+            self._rhs1[i].x.array[:] = np.asarray(rhs1[i])
+
+    def velocity_tentative_solve(self):
+        """Returns (diff, converged reasons per component) like
+        fracstep.py:508-525; also applies BC values to the stored rhs."""
+        for i, bc_i in enumerate(self._bcs_u):
+            for bc in bc_i:
+                bc.apply(self._rhs1[i])
+        rhs1 = jnp.asarray(np.stack([g.x.array for g in self._rhs1]), dtype=self._dtype)
+        u = jnp.asarray(np.stack([g.x.array for g in self._u]), dtype=self._dtype)
+        u_new, diff, iters, conv = self._tentative_solve_dev(
+            self._A_elems, rhs1, self._bc_value_arrays(), u
+        )
+        for i in range(self._mesh.dim):
+            self._u[i].x.array[:] = np.asarray(u_new[i])
+        errors = np.where(np.asarray(conv), 2, -3).astype(np.int32)
+        return float(diff), errors
+
+    def pressure_assemble(self, dt: float) -> None:
+        u = jnp.asarray(np.stack([g.x.array for g in self._u]), dtype=self._dtype)
+        b2 = self._pressure_assemble_dev(u, jnp.asarray(dt, self._dtype))
+        self._b2.x.array[:] = np.asarray(b2)
+
+    def pressure_solve(self, nu: float | None = None):
+        u = jnp.asarray(np.stack([g.x.array for g in self._u]), dtype=self._dtype)
+        dp, ps, iters, conv = self._pressure_solve_dev(
+            jnp.asarray(self._b2.x.array, self._dtype),
+            jnp.asarray(self._p.x.array, self._dtype),
+            jnp.asarray(self._dp.x.array, self._dtype),
+            u,
+            jnp.asarray(0.0 if nu is None else nu, self._dtype),
+        )
+        self._dp.x.array[:] = np.asarray(dp)
+        self._ps.x.array[:] = np.asarray(ps)
+        return 2 if bool(conv) else -3
+
+    def velocity_update(self, dt: float):
+        u = jnp.asarray(np.stack([g.x.array for g in self._u]), dtype=self._dtype)
+        u_new, iters, conv = self._velocity_update_dev(
+            u, jnp.asarray(self._dp.x.array, self._dtype), jnp.asarray(dt, self._dtype)
+        )
+        for i in range(self._mesh.dim):
+            self._u[i].x.array[:] = np.asarray(u_new[i])
+        return np.where(np.asarray(conv), 2, -3).astype(np.int32)
+
+    # --- introspection helpers ---------------------------------------------
+    def tentative_matrix_dense(self) -> np.ndarray:
+        """Dense tentative LHS (bc rows zeroed, unit diagonal) for
+        differential tests (reference test gathers the PETSc matrix)."""
+        if self._A_elems is None:
+            raise RuntimeError("call assemble_first first")
+        n = self._Vi[0][0].num_dofs
+        cd = np.asarray(self._ctx.cd_v)
+        A = eng.elems_to_dense(np.asarray(self._A_elems), cd, cd, n, n)
+        bc = np.asarray(self._bc_mask0)
+        A[bc, :] = 0.0
+        A[np.where(bc)[0], np.where(bc)[0]] = 1.0
+        return A
+
+    @property
+    def u(self) -> Function:
+        """Tentative velocity as a vector function (fracstep.py:698-705)."""
+        for ui, (Vi, cmap) in zip(self._u, self._Vi):
+            self._sol_u.x.array[cmap] = ui.x.array
+        return self._sol_u
