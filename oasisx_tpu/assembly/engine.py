@@ -62,6 +62,11 @@ class DeviceContext:
     ndofs_v: int = field(metadata=dict(static=True))
     ndofs_q: int = field(metadata=dict(static=True))
     dim: int = field(metadata=dict(static=True))
+    # device-mesh axis name when cell arrays are sharded (shard_map SPMD);
+    # None on a single device. The TPU analogue of the reference's MPI
+    # owner/ghost scatters (SURVEY L0): per-shard segment-sums followed by
+    # an ICI psum.
+    axis: str | None = field(default=None, metadata=dict(static=True))
 
 
 def build_device_context(
@@ -110,15 +115,20 @@ def build_device_context(
 # ---------------------------------------------------------------------------
 
 
-def scatter_add(vals: jax.Array, cell_dofs: jax.Array, num_dofs: int) -> jax.Array:
+def scatter_add(
+    vals: jax.Array, cell_dofs: jax.Array, num_dofs: int, axis: str | None = None
+) -> jax.Array:
     """Sum per-cell local contributions into a global dof vector.
 
     The structural equivalent of ghost accumulation + scatter_reverse(add)
-    (fracstep.py:390 et al.) collapsed to a single deterministic segment-sum.
+    (fracstep.py:390 et al.) collapsed to a single deterministic segment-sum;
+    with a sharded cell axis, cross-shard contributions are folded by a psum
+    over the device mesh (ICI collective).
     """
-    return jax.ops.segment_sum(
-        vals.reshape(-1), cell_dofs.reshape(-1), num_segments=num_dofs
-    )
+    y = jax.ops.segment_sum(vals.reshape(-1), cell_dofs.reshape(-1), num_segments=num_dofs)
+    if axis is not None:
+        y = jax.lax.psum(y, axis)
+    return y
 
 
 # ---------------------------------------------------------------------------
@@ -173,36 +183,36 @@ def grad_p_mats(ctx: DeviceContext) -> jax.Array:
 def matvec_v(ctx: DeviceContext, elems: jax.Array, x: jax.Array) -> jax.Array:
     """y = A x for an operator on the velocity-component space."""
     ye = jnp.einsum("cij,cj->ci", elems, x[ctx.cd_v])
-    return scatter_add(ye, ctx.cd_v, ctx.ndofs_v)
+    return scatter_add(ye, ctx.cd_v, ctx.ndofs_v, ctx.axis)
 
 
 def matvec_q(ctx: DeviceContext, elems: jax.Array, x: jax.Array) -> jax.Array:
     ye = jnp.einsum("cij,cj->ci", elems, x[ctx.cd_q])
-    return scatter_add(ye, ctx.cd_q, ctx.ndofs_q)
+    return scatter_add(ye, ctx.cd_q, ctx.ndofs_q, ctx.axis)
 
 
 def matvec_vq(ctx: DeviceContext, elems: jax.Array, p: jax.Array) -> jax.Array:
     """y_V = B p for a mixed operator with element matrices (nc, ndv, ndq)
     (preassembled p*v.dx(i) matrices, fracstep.py:311-315,501)."""
     ye = jnp.einsum("cjm,cm->cj", elems, p[ctx.cd_q])
-    return scatter_add(ye, ctx.cd_v, ctx.ndofs_v)
+    return scatter_add(ye, ctx.cd_v, ctx.ndofs_v, ctx.axis)
 
 
 def matvec_qv(ctx: DeviceContext, elems: jax.Array, u: jax.Array) -> jax.Array:
     """y_Q = D u for a mixed operator with element matrices (nc, ndq, ndv)
     (preassembled u.dx(i) q matrices, fracstep.py:332-336,541)."""
     ye = jnp.einsum("cmj,cj->cm", elems, u[ctx.cd_v])
-    return scatter_add(ye, ctx.cd_q, ctx.ndofs_q)
+    return scatter_add(ye, ctx.cd_q, ctx.ndofs_q, ctx.axis)
 
 
 def diagonal_v(ctx: DeviceContext, elems: jax.Array) -> jax.Array:
     d = jnp.einsum("cii->ci", elems)
-    return scatter_add(d, ctx.cd_v, ctx.ndofs_v)
+    return scatter_add(d, ctx.cd_v, ctx.ndofs_v, ctx.axis)
 
 
 def diagonal_q(ctx: DeviceContext, elems: jax.Array) -> jax.Array:
     d = jnp.einsum("cii->ci", elems)
-    return scatter_add(d, ctx.cd_q, ctx.ndofs_q)
+    return scatter_add(d, ctx.cd_q, ctx.ndofs_q, ctx.axis)
 
 
 # ---------------------------------------------------------------------------
@@ -215,7 +225,7 @@ def pressure_gradient_vecs(ctx: DeviceContext, p: jax.Array) -> jax.Array:
     """r_i = assemble(p * v.dx(i) dx) for all components at once: (d, ndofs_v)."""
     pe = p[ctx.cd_q]  # (nc, m)
     re = jnp.einsum("c,cbg,bjm,cm->gcj", ctx.detJ, ctx.Kinv, ctx.mixed_ref, pe)
-    return jax.vmap(lambda v: scatter_add(v, ctx.cd_v, ctx.ndofs_v))(re)
+    return jax.vmap(lambda v: scatter_add(v, ctx.cd_v, ctx.ndofs_v, ctx.axis))(re)
 
 
 def divergence_vec(ctx: DeviceContext, u: jax.Array) -> jax.Array:
@@ -223,7 +233,7 @@ def divergence_vec(ctx: DeviceContext, u: jax.Array) -> jax.Array:
     (fracstep.py:327-329)."""
     ue = u[:, ctx.cd_v]  # (g, nc, j)
     be = jnp.einsum("c,cbg,bmj,gcj->cm", ctx.detJ, ctx.Kinv, _mixed_T(ctx), ue)
-    return scatter_add(be, ctx.cd_q, ctx.ndofs_q)
+    return scatter_add(be, ctx.cd_q, ctx.ndofs_q, ctx.axis)
 
 
 def _mixed_T(ctx: DeviceContext) -> jax.Array:
@@ -235,25 +245,25 @@ def grad_p_vecs(ctx: DeviceContext, dp: jax.Array) -> jax.Array:
     (velocity update, fracstep.py:342-345,618)."""
     pe = dp[ctx.cd_q]
     re = jnp.einsum("c,cbg,bjm,cm->gcj", ctx.detJ, ctx.Kinv, ctx.gradq_ref, pe)
-    return jax.vmap(lambda v: scatter_add(v, ctx.cd_v, ctx.ndofs_v))(re)
+    return jax.vmap(lambda v: scatter_add(v, ctx.cd_v, ctx.ndofs_v, ctx.axis))(re)
 
 
 def constant_load_vec(ctx: DeviceContext, f: jax.Array) -> jax.Array:
     """assemble(f * v dx) for constant scalar f: (ndofs_v,) (fracstep.py:289)."""
     ve = f * ctx.detJ[:, None] * ctx.load_ref[None, :]
-    return scatter_add(ve, ctx.cd_v, ctx.ndofs_v)
+    return scatter_add(ve, ctx.cd_v, ctx.ndofs_v, ctx.axis)
 
 
 def source_load_vec_q(ctx: DeviceContext, vals_qp: jax.Array) -> jax.Array:
     """assemble(g * q dx) from values of g at quadrature points (nc, nq),
     into Q — the Projector RHS path (function.py:74)."""
     ve = jnp.einsum("cq,q,qm,c->cm", vals_qp, ctx.qw, ctx.phi_q, ctx.detJ)
-    return scatter_add(ve, ctx.cd_q, ctx.ndofs_q)
+    return scatter_add(ve, ctx.cd_q, ctx.ndofs_q, ctx.axis)
 
 
 def source_load_vec_v(ctx: DeviceContext, vals_qp: jax.Array) -> jax.Array:
     ve = jnp.einsum("cq,q,qj,c->cj", vals_qp, ctx.qw, ctx.phi_v, ctx.detJ)
-    return scatter_add(ve, ctx.cd_v, ctx.ndofs_v)
+    return scatter_add(ve, ctx.cd_v, ctx.ndofs_v, ctx.axis)
 
 
 # ---------------------------------------------------------------------------
@@ -282,12 +292,18 @@ def grad_q_at_qp(ctx: DeviceContext, x: jax.Array) -> jax.Array:
 
 def integrate(ctx: DeviceContext, vals_qp: jax.Array) -> jax.Array:
     """Integral over the mesh of a quantity given at quadrature points."""
-    return jnp.einsum("cq,q,c->", vals_qp, ctx.qw, ctx.detJ)
+    out = jnp.einsum("cq,q,c->", vals_qp, ctx.qw, ctx.detJ)
+    if ctx.axis is not None:
+        out = jax.lax.psum(out, ctx.axis)
+    return out
 
 
 def cell_volume_total(ctx: DeviceContext) -> jax.Array:
     """assemble(1 * dx) (fracstep.py:582)."""
-    return jnp.sum(ctx.detJ) * jnp.sum(ctx.qw)
+    out = jnp.sum(ctx.detJ) * jnp.sum(ctx.qw)
+    if ctx.axis is not None:
+        out = jax.lax.psum(out, ctx.axis)
+    return out
 
 
 # ---------------------------------------------------------------------------

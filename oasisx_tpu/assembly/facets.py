@@ -128,7 +128,7 @@ def pressure_surface_vecs(
     core = jnp.einsum("q,fq,fqbj->fbj", fctx.qw, p_qvals, dphi)
     re = jnp.einsum("f,fg,fbg,fbj->gfj", fctx.scale, fctx.normal, Kc, core)
     cd = ctx.cd_v[fctx.cells]  # (nf, ndv)
-    return jax.vmap(lambda v: scatter_add(v, cd, ctx.ndofs_v))(re)
+    return jax.vmap(lambda v: scatter_add(v, cd, ctx.ndofs_v, ctx.axis))(re)
 
 
 def facet_eval_q(ctx: DeviceContext, fctx: FacetContext, p: jax.Array) -> jax.Array:

@@ -185,8 +185,7 @@ class PressureBC:
         if self._u is not None:
             return facet_eval_q(ctx, f, jnp.asarray(self._u.x.array))
         v = self._value.value if isinstance(self._value, Constant) else self._value
-        nqf = f.qw.shape[0]
-        return jnp.full((f.nfacets, nqf), float(v))
+        return jnp.full((f.scale.shape[0], f.qw.shape[0]), float(v))
 
     def assemble_rhs_all(self, ctx):
         """All-component surface RHS vectors at once: (d, ndofs_v)."""

@@ -11,6 +11,12 @@ Krylov loops. Matrices are stored element-matrix stacks; "axpy on shared
 sparsity" (fracstep.py:438-442) is elementwise; Dirichlet row zeroing is a
 matvec-time mask.
 
+Multi-chip: pass ``device_mesh`` (a 1-axis ``jax.sharding.Mesh``) to shard
+the cell batch across devices — the TPU analogue of the reference's MPI
+domain decomposition (SURVEY L0): the step runs under ``shard_map`` with
+per-shard assembly and ``psum`` folding of cross-shard dof contributions
+over ICI; dof vectors are replicated.
+
 Step semantics (matching reference :411-472, :474-525, :527-605, :607-658):
 
   A_rhs = -1/2 C(uab) + (1/dt) M - (nu/2) K          [uab = 1.5 u1 - 0.5 u2]
@@ -37,11 +43,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from .assembly import engine as eng
+from .assembly.facets import FacetContext, pressure_surface_vecs
 from .bcs import DirichletBC, PressureBC, bc_mask_and_values
 from .config import real_dtype
 from .elements.element import FiniteElement, make_element
 from .la import KSPSolver, bicgstab, cg, jacobi_preconditioner
-from .la.krylov import KrylovResult
 from .meshes.mesh import Mesh
 from .spaces.functionspace import Function, FunctionSpace
 
@@ -61,6 +67,10 @@ class FractionalStep_AB_CN:
     ``options={"low_memory_version": bool}`` selecting direct vector
     assembly (True, default — the TPU-preferred action strategy) vs
     preassembled mixed matrices (False).
+
+    TPU extensions: ``dtype`` (default follows jax x64 config) and
+    ``device_mesh`` — a 1-axis ``jax.sharding.Mesh`` over which the cell
+    batch is sharded (SPMD domain decomposition).
     """
 
     def __init__(
@@ -76,6 +86,7 @@ class FractionalStep_AB_CN:
         body_force=None,
         options: dict | None = None,
         dtype=None,
+        device_mesh=None,
     ):
         self._mesh = mesh
         self._dtype = real_dtype(dtype)
@@ -111,6 +122,8 @@ class FractionalStep_AB_CN:
         self._bcs_p = bcs_p
 
         # --- device context ------------------------------------------------
+        self._device_mesh = device_mesh
+        self._axis = None
         self._ctx, self._refs = eng.build_device_context(
             mesh,
             el_u,
@@ -123,6 +136,13 @@ class FractionalStep_AB_CN:
         )
         for bcp in self._bcs_p:
             bcp.create_bcs(Vi0, self._Q)
+        self._fctxs = [bcp.facet_context for bcp in self._bcs_p]
+        if device_mesh is not None:
+            from .parallel.sharding import shard_problem
+
+            (self._axis, self._ctx, self._fctxs, self._cells_per_shard) = shard_problem(
+                device_mesh, self._ctx, self._fctxs
+            )
 
         # --- solvers (fracstep.py:230-255) ---------------------------------
         solver_options = {} if solver_options is None else solver_options
@@ -146,8 +166,7 @@ class FractionalStep_AB_CN:
         self._preassemble()
         self._build_step()
 
-        # mirrors of reference state for the split-phase API
-        self._A_elems = None
+        self._A_elems = None  # set by assemble_first (split-phase API)
         self.last_stats: dict = {}
 
     # ------------------------------------------------------------------
@@ -165,28 +184,56 @@ class FractionalStep_AB_CN:
             m, v = bc_mask_and_values(bc_i, nv)
             masks.append(m)
             vals.append(v)
-        self._bc_masks = jnp.asarray(np.stack(masks)) if d else None  # (d, nv) bool
+        self._bc_masks = jnp.asarray(np.stack(masks))  # (d, nv) bool
         # matrix rows use component-0 bcs: reference NOTE at fracstep.py:470
         self._bc_mask0 = jnp.asarray(masks[0])
         pmask = np.zeros(nq, dtype=bool)
         for bcp in self._bcs_p:
             pmask[bcp.dofs] = True
         self._pbc_mask = jnp.asarray(pmask)
-        self._have_pbc = bool(pmask.any()) or len(self._bcs_p) > 0
+        self._have_pbc = len(self._bcs_p) > 0
+
+    def _on_mesh(self, fn, out_spec, *args, arg_specs=()):
+        """Run an engine function over the device mesh (shard_map, so psum
+        axes resolve), or directly on a single device."""
+        if self._axis is None:
+            return fn(self._ctx, *args)
+        from jax.sharding import PartitionSpec as P
+
+        from .parallel.sharding import context_specs
+
+        if not arg_specs:
+            arg_specs = (P(),) * len(args)
+        return jax.jit(
+            jax.shard_map(
+                fn,
+                mesh=self._device_mesh,
+                in_specs=(context_specs(self._ctx, self._axis),) + tuple(arg_specs),
+                out_specs=out_spec,
+            )
+        )(self._ctx, *args)
 
     def _preassemble(self) -> None:
         """Constant element matrices and body-force vectors
-        (fracstep.py:360-409)."""
+        (fracstep.py:360-409). All outputs inherit the cell sharding."""
+        from jax.sharding import PartitionSpec as P
+
         ctx = self._ctx
         d = self._mesh.dim
-        self._M_elems = eng.mass_elems(ctx)
-        self._K_elems = eng.stiffness_elems(ctx)
-        self._Ap_elems = eng.stiffness_q_elems(ctx)
-        self._Mq_elems = eng.mass_q_elems(ctx)
-        self._M_diag = eng.diagonal_v(ctx, self._M_elems)
-        ap_diag = eng.diagonal_q(ctx, self._Ap_elems)
+        ax = self._axis
+        cell2 = P(ax, None, None) if ax else None
+        self._M_elems = self._on_mesh(eng.mass_elems, cell2)
+        self._K_elems = self._on_mesh(eng.stiffness_elems, cell2)
+        self._Ap_elems = self._on_mesh(eng.stiffness_q_elems, cell2)
+        self._Mq_elems = self._on_mesh(eng.mass_q_elems, cell2)
+        self._M_diag = self._on_mesh(
+            eng.diagonal_v, P() if ax else None, self._M_elems, arg_specs=(cell2,) if ax else ()
+        )
+        ap_diag = self._on_mesh(
+            eng.diagonal_q, P() if ax else None, self._Ap_elems, arg_specs=(cell2,) if ax else ()
+        )
+        self._vol = float(self._on_mesh(eng.cell_volume_total, P() if ax else None))
         self._Ap_diag = jnp.where(self._pbc_mask, 1.0, ap_diag) if self._have_pbc else ap_diag
-        self._vol = float(eng.cell_volume_total(ctx))
 
         # body force (fracstep.py:283-289, 386-390)
         f = self._body_force
@@ -197,114 +244,186 @@ class FractionalStep_AB_CN:
             fi = f[i]
             fi = getattr(fi, "value", fi)
             if callable(fi):
-                # spatially varying: evaluate at quadrature points
                 from .forms.expr import QPEvaluator
 
                 ev = QPEvaluator(self._mesh, 2 * self._V.element.degree + 2, self._dtype)
                 xq = np.asarray(ev.xq)
                 pad = np.zeros((3,) + xq.shape[:2])
                 pad[: xq.shape[2]] = np.moveaxis(xq, 2, 0)
-                b0.append(np.asarray(eng.source_load_vec_v(ctx, jnp.asarray(fi(pad)))))
+                vals_qp = np.asarray(fi(pad))
+                if ax is not None:
+                    from .parallel.sharding import pad_cell_array
+
+                    nc_pad = self._cells_per_shard * int(
+                        np.prod(self._device_mesh.devices.shape)
+                    )
+                    vals_qp = pad_cell_array(vals_qp, nc_pad)
+                b0.append(
+                    np.asarray(
+                        self._on_mesh(
+                            eng.source_load_vec_v,
+                            P() if ax else None,
+                            jnp.asarray(vals_qp, self._dtype),
+                            arg_specs=(P(ax, None),) if ax else (),
+                        )
+                    )
+                )
             else:
-                b0.append(np.asarray(eng.constant_load_vec(ctx, jnp.asarray(float(fi)))))
+                b0.append(
+                    np.asarray(
+                        self._on_mesh(
+                            eng.constant_load_vec,
+                            P() if ax else None,
+                            jnp.asarray(float(fi), self._dtype),
+                        )
+                    )
+                )
             self._b0[i].x.array[:] = b0[i]
         self._b0_dev = jnp.asarray(np.stack(b0), dtype=self._dtype)
 
         # preassembled mixed matrices (low_memory=False, fracstep.py:392-404)
         if not self._low_memory:
-            pg = eng.pressure_gradient_mats(ctx)  # (d, nc, ndv, ndq)
+            mixed_spec = P(None, ax, None, None) if ax else None
+            pg = self._on_mesh(eng.pressure_gradient_mats, mixed_spec)
+            gp = self._on_mesh(eng.grad_p_mats, mixed_spec)
             self._p_vdxi_elems = pg
-            self._divu_elems = jnp.swapaxes(pg, 2, 3)  # (d, nc, ndq, ndv)
-            self._grad_p_elems = eng.grad_p_mats(ctx)
-        # symmetric-bc mass (reference _M_bcs, fracstep.py:406-409, kept for
-        # API parity; the velocity update uses plain M, fracstep.py:273)
+            self._divu_elems = jnp.swapaxes(pg, 2, 3)
+            self._grad_p_elems = gp
+        else:
+            self._p_vdxi_elems = None
+            self._divu_elems = None
+            self._grad_p_elems = None
 
     # ------------------------------------------------------------------
-    # device-side step pieces (pure functions of arrays)
+    # params pytree handed to the (possibly shard_mapped) step program
     # ------------------------------------------------------------------
-    def _surface_vecs(self, h_qvals: list) -> jax.Array | None:
+    def _params(self) -> dict:
+        return dict(
+            ctx=self._ctx,
+            fctxs=self._fctxs,
+            M=self._M_elems,
+            K=self._K_elems,
+            Ap=self._Ap_elems,
+            Mq=self._Mq_elems,
+            M_diag=self._M_diag,
+            Ap_diag=self._Ap_diag,
+            b0=self._b0_dev,
+            bc_masks=self._bc_masks,
+            bc_mask0=self._bc_mask0,
+            pbc_mask=self._pbc_mask,
+            p_vdxi=self._p_vdxi_elems,
+            divu=self._divu_elems,
+            grad_p=self._grad_p_elems,
+        )
+
+    def _param_specs(self):
+        """shard_map PartitionSpecs matching :meth:`_params`."""
+        from jax.sharding import PartitionSpec as P
+
+        from .parallel.sharding import context_specs, facet_specs
+
+        ax = self._axis
+        cell = lambda extra=0: P(*((ax,) + (None,) * extra))
+        return dict(
+            ctx=context_specs(self._ctx, ax),
+            fctxs=[facet_specs(f, ax) for f in self._fctxs],
+            M=cell(2),
+            K=cell(2),
+            Ap=cell(2),
+            Mq=cell(2),
+            M_diag=P(),
+            Ap_diag=P(),
+            b0=P(),
+            bc_masks=P(),
+            bc_mask0=P(),
+            pbc_mask=P(),
+            p_vdxi=None if self._p_vdxi_elems is None else P(None, ax),
+            divu=None if self._divu_elems is None else P(None, ax),
+            grad_p=None if self._grad_p_elems is None else P(None, ax),
+        )
+
+    # ------------------------------------------------------------------
+    # device-side step pieces (pure functions of the params pytree)
+    # ------------------------------------------------------------------
+    def _surface_vecs(self, P: dict, h_qvals) -> jax.Array | None:
         """Sum of outlet surface contributions over all PressureBCs:
         (d, ndofs_v) (fracstep.py:461-465)."""
-        if not self._bcs_p:
+        if not self._have_pbc:
             return None
-        from .assembly.facets import pressure_surface_vecs
-
         out = None
-        for bcp, hq in zip(self._bcs_p, h_qvals):
-            v = pressure_surface_vecs(self._ctx, bcp.facet_context, hq)
+        for fctx, hq in zip(P["fctxs"], h_qvals):
+            v = pressure_surface_vecs(P["ctx"], fctx, hq)
             out = v if out is None else out + v
         return out
 
-    def _assemble_first_dev(self, u1, u2, dt, nu, p_surf):
-        ctx = self._ctx
+    def _assemble_first_dev(self, P: dict, u1, u2, dt, nu, h_qvals):
+        ctx = P["ctx"]
         uab = 1.5 * u1 - 0.5 * u2
         C = eng.convection_elems(ctx, uab)
-        A_rhs = -0.5 * C + (1.0 / dt) * self._M_elems - 0.5 * nu * self._K_elems
-        b_first = jax.vmap(lambda ui: eng.matvec_v(ctx, A_rhs, ui))(u1) + self._b0_dev
+        A_rhs = -0.5 * C + (1.0 / dt) * P["M"] - 0.5 * nu * P["K"]
+        b_first = jnp.stack([eng.matvec_v(ctx, A_rhs, u1[i]) for i in range(u1.shape[0])])
+        b_first = b_first + P["b0"]
+        p_surf = self._surface_vecs(P, h_qvals)
         if p_surf is not None:
             b_first = b_first + p_surf
-        A_lhs = -A_rhs + (2.0 / dt) * self._M_elems
+        A_lhs = -A_rhs + (2.0 / dt) * P["M"]
         return uab, A_lhs, b_first
 
-    def _tentative_matvec(self, A_lhs):
-        ctx, mask0 = self._ctx, self._bc_mask0
+    def _tentative_matvec(self, P: dict, A_lhs):
+        ctx, mask0 = P["ctx"], P["bc_mask0"]
         return lambda x: eng.apply_bc_rows(mask0, eng.matvec_v(ctx, A_lhs, x), x)
 
-    def _tentative_assemble_dev(self, b_first, ps):
-        ctx = self._ctx
+    def _tentative_assemble_dev(self, P: dict, b_first, ps):
+        ctx = P["ctx"]
         if self._low_memory:
             pv = eng.pressure_gradient_vecs(ctx, ps)
         else:
-            pv = jax.vmap(lambda e: eng.matvec_vq(ctx, e, ps))(self._p_vdxi_elems)
+            pv = jnp.stack(
+                [eng.matvec_vq(ctx, P["p_vdxi"][i], ps) for i in range(self._mesh.dim)]
+            )
         return b_first + pv
 
-    def _tentative_solve_dev(self, A_lhs, rhs1, bc_vals, u):
+    def _tentative_solve_dev(self, P: dict, A_lhs, rhs1, bc_vals, u):
         """Solve per component; returns (u_new, diff, iters, converged)."""
-        ctx = self._ctx
-        matvec = self._tentative_matvec(A_lhs)
-        diag = jnp.where(self._bc_mask0, 1.0, eng.diagonal_v(ctx, A_lhs))
+        ctx = P["ctx"]
+        matvec = self._tentative_matvec(P, A_lhs)
+        diag = jnp.where(P["bc_mask0"], 1.0, eng.diagonal_v(ctx, A_lhs))
         M = jacobi_preconditioner(diag)
         s = self._solver_u
         us, iters, conv, diff = [], [], [], 0.0
         for i in range(self._mesh.dim):
-            rhs = jnp.where(self._bc_masks[i], bc_vals[i], rhs1[i])
-            if s.method == "cg":
-                res = cg(matvec, rhs, x0=u[i], M=M, rtol=s.rtol, atol=s.atol, maxiter=s.maxiter)
-            else:
-                res = bicgstab(
-                    matvec, rhs, x0=u[i], M=M, rtol=s.rtol, atol=s.atol, maxiter=s.maxiter
-                )
+            rhs = jnp.where(P["bc_masks"][i], bc_vals[i], rhs1[i])
+            solver = cg if s.method == "cg" else bicgstab
+            res = solver(matvec, rhs, x0=u[i], M=M, rtol=s.rtol, atol=s.atol, maxiter=s.maxiter)
             us.append(res.x)
             iters.append(res.iters)
             conv.append(res.converged)
             diff = diff + jnp.linalg.norm(res.x - u[i])
         return jnp.stack(us), diff, jnp.stack(iters), jnp.stack(conv)
 
-    def _pressure_assemble_dev(self, u, dt):
-        ctx = self._ctx
+    def _pressure_assemble_dev(self, P: dict, u, dt):
+        ctx = P["ctx"]
         if self._low_memory:
             b2 = eng.divergence_vec(ctx, u)
         else:
             b2 = jnp.zeros(ctx.ndofs_q, dtype=u.dtype)
             for i in range(self._mesh.dim):
-                b2 = b2 + eng.matvec_qv(ctx, self._divu_elems[i], u[i])
+                b2 = b2 + eng.matvec_qv(ctx, P["divu"][i], u[i])
         b2 = -(1.0 / dt) * b2
         if self._have_pbc:
-            b2 = jnp.where(self._pbc_mask, 0.0, b2)
+            b2 = jnp.where(P["pbc_mask"], 0.0, b2)
         return b2
 
-    def _pressure_solve_dev(self, b2, p, dp0, u, nu):
-        ctx = self._ctx
+    def _pressure_solve_dev(self, P: dict, b2, p, dp0, u, nu):
+        ctx = P["ctx"]
         s = self._solver_p
-        M = jacobi_preconditioner(self._Ap_diag)
+        M = jacobi_preconditioner(P["Ap_diag"])
         if self._have_pbc:
-            matvec = lambda x: eng.bc_symmetric_matvec(
-                ctx, self._Ap_elems, self._pbc_mask, x, eng.matvec_q
-            )
+            matvec = lambda x: eng.bc_symmetric_matvec(ctx, P["Ap"], P["pbc_mask"], x, eng.matvec_q)
             res = cg(matvec, b2, x0=dp0, M=M, rtol=s.rtol, atol=s.atol, maxiter=s.maxiter)
             dp = res.x
         else:
-            matvec = lambda x: eng.matvec_q(ctx, self._Ap_elems, x)
+            matvec = lambda x: eng.matvec_q(ctx, P["Ap"], x)
             res = cg(
                 matvec,
                 b2,
@@ -321,13 +440,13 @@ class FractionalStep_AB_CN:
             dp = dp - phi_avg
         if self._rotational:
             # ps = Proj_Q(p + dp - xi nu div u)   (fracstep.py:237-247,593-604)
-            rhs = eng.matvec_q(ctx, self._Mq_elems, p + dp) - self._xi * nu * (
-                eng.source_load_vec_q(ctx, self._div_u_qp(u))
+            rhs = eng.matvec_q(ctx, P["Mq"], p + dp) - self._xi * nu * (
+                eng.source_load_vec_q(ctx, self._div_u_qp(P, u))
             )
-            mq_diag = eng.diagonal_q(ctx, self._Mq_elems)
+            mq_diag = eng.diagonal_q(ctx, P["Mq"])
             sc = self._solver_c
             res_rot = cg(
-                lambda x: eng.matvec_q(ctx, self._Mq_elems, x),
+                lambda x: eng.matvec_q(ctx, P["Mq"], x),
                 rhs,
                 x0=p + dp,
                 M=jacobi_preconditioner(mq_diag),
@@ -340,27 +459,29 @@ class FractionalStep_AB_CN:
             ps = p + dp
         return dp, ps, res.iters, res.converged
 
-    def _div_u_qp(self, u):
+    def _div_u_qp(self, P: dict, u):
         """div(u) at quadrature points: (nc, nq)."""
-        ctx = self._ctx
+        ctx = P["ctx"]
         out = None
         for i in range(self._mesh.dim):
             gi = eng.grad_v_at_qp(ctx, u[i])[:, :, i]
             out = gi if out is None else out + gi
         return out
 
-    def _velocity_update_dev(self, u, dp, dt):
-        ctx = self._ctx
+    def _velocity_update_dev(self, P: dict, u, dp, dt):
+        ctx = P["ctx"]
         if self._low_memory:
             g = eng.grad_p_vecs(ctx, dp)
         else:
-            g = jax.vmap(lambda e: eng.matvec_vq(ctx, e, dp))(self._grad_p_elems)
-        matvec = lambda x: eng.matvec_v(ctx, self._M_elems, x)
-        M = jacobi_preconditioner(self._M_diag)
+            g = jnp.stack(
+                [eng.matvec_vq(ctx, P["grad_p"][i], dp) for i in range(self._mesh.dim)]
+            )
+        matvec = lambda x: eng.matvec_v(ctx, P["M"], x)
+        M = jacobi_preconditioner(P["M_diag"])
         sc = self._solver_c
         us, iters, conv = [], [], []
         for i in range(self._mesh.dim):
-            b3 = eng.matvec_v(ctx, self._M_elems, u[i]) - dt * g[i]
+            b3 = eng.matvec_v(ctx, P["M"], u[i]) - dt * g[i]
             res = cg(matvec, b3, x0=u[i], M=M, rtol=sc.rtol, atol=sc.atol, maxiter=sc.maxiter)
             us.append(res.x)
             iters.append(res.iters)
@@ -368,49 +489,69 @@ class FractionalStep_AB_CN:
         return jnp.stack(us), jnp.stack(iters), jnp.stack(conv)
 
     # ------------------------------------------------------------------
-    # fused jitted step
+    # fused jitted step (+ multi-step run loop)
     # ------------------------------------------------------------------
+    def _step_impl(self, P, state, dt, nu, bc_vals, h_qvals, max_error, max_iter):
+        u, u1, u2, p = state["u"], state["u1"], state["u2"], state["p"]
+        uab, A_lhs, b_first = self._assemble_first_dev(P, u1, u2, dt, nu, h_qvals)
+
+        def cond(carry):
+            u, ps, dp, diff, it, stats = carry
+            return (it < max_iter) & (diff > max_error)
+
+        def body(carry):
+            u, ps, dp, diff, it, stats = carry
+            rhs1 = self._tentative_assemble_dev(P, b_first, ps)
+            u, diff, u_iters, u_conv = self._tentative_solve_dev(P, A_lhs, rhs1, bc_vals, u)
+            b2 = self._pressure_assemble_dev(P, u, dt)
+            dp, ps, p_iters, p_conv = self._pressure_solve_dev(P, b2, p, dp, u, nu)
+            stats = dict(
+                u_iters=u_iters, u_converged=u_conv, p_iters=p_iters, p_converged=p_conv
+            )
+            return (u, ps, dp, diff, it + 1, stats)
+
+        zero_stats = dict(
+            u_iters=jnp.zeros(self._mesh.dim, jnp.int32),
+            u_converged=jnp.zeros(self._mesh.dim, bool),
+            p_iters=jnp.int32(0),
+            p_converged=jnp.asarray(False),
+        )
+        big = jnp.asarray(1e8, dtype=u.dtype)
+        u, ps, dp, diff, it, stats = jax.lax.while_loop(
+            cond, body, (u, p, state["dp"], big, jnp.int32(0), zero_stats)
+        )
+        u, c_iters, c_conv = self._velocity_update_dev(P, u, dp, dt)
+        new_state = dict(u=u, u1=u, u2=u1, p=ps, dp=dp)
+        stats = dict(stats, c_iters=c_iters, c_converged=c_conv, inner_iters=it, diff=diff)
+        return new_state, stats
+
     def _build_step(self) -> None:
-        def step(state, dt, nu, bc_vals, p_surf, max_error, max_iter):
-            u, u1, u2, p = state["u"], state["u1"], state["u2"], state["p"]
-            ps = p
-            uab, A_lhs, b_first = self._assemble_first_dev(u1, u2, dt, nu, p_surf)
+        if self._axis is None:
+            self._raw_step = self._step_impl
+        else:
+            from jax.sharding import PartitionSpec as Pspec
 
-            def cond(carry):
-                u, ps, dp, diff, it, stats = carry
-                return (it < max_iter) & (diff > max_error)
-
-            def body(carry):
-                u, ps, dp, diff, it, stats = carry
-                rhs1 = self._tentative_assemble_dev(b_first, ps)
-                u, diff, u_iters, u_conv = self._tentative_solve_dev(A_lhs, rhs1, bc_vals, u)
-                b2 = self._pressure_assemble_dev(u, dt)
-                dp, ps, p_iters, p_conv = self._pressure_solve_dev(b2, p, dp, u, nu)
-                stats = dict(
-                    u_iters=u_iters,
-                    u_converged=u_conv,
-                    p_iters=p_iters,
-                    p_converged=p_conv,
+            def raw_step(P, state, dt, nu, bc_vals, h_qvals, max_error, max_iter):
+                fn = lambda P, state, dt, nu, bc_vals, h_qvals, max_error: self._step_impl(
+                    P, state, dt, nu, bc_vals, h_qvals, max_error, max_iter
                 )
-                return (u, ps, dp, diff, it + 1, stats)
+                return jax.shard_map(
+                    fn,
+                    mesh=self._device_mesh,
+                    in_specs=(
+                        self._param_specs(),
+                        Pspec(),
+                        Pspec(),
+                        Pspec(),
+                        Pspec(),
+                        [Pspec(self._axis, None) for _ in self._fctxs],
+                        Pspec(),
+                    ),
+                    out_specs=(Pspec(), Pspec()),
+                )(P, state, dt, nu, bc_vals, h_qvals, max_error)
 
-            zero_stats = dict(
-                u_iters=jnp.zeros(self._mesh.dim, jnp.int32),
-                u_converged=jnp.zeros(self._mesh.dim, bool),
-                p_iters=jnp.int32(0),
-                p_converged=jnp.asarray(False),
-            )
-            dp0 = state["dp"]
-            big = jnp.asarray(1e8, dtype=u.dtype)
-            u, ps, dp, diff, it, stats = jax.lax.while_loop(
-                cond, body, (u, ps, dp0, big, jnp.int32(0), zero_stats)
-            )
-            u, c_iters, c_conv = self._velocity_update_dev(u, dp, dt)
-            new_state = dict(u=u, u1=u, u2=u1, p=ps, dp=dp)
-            stats = dict(stats, c_iters=c_iters, c_converged=c_conv, inner_iters=it, diff=diff)
-            return new_state, stats
-
-        self._step_fn = jax.jit(step, static_argnames=("max_iter",))
+            self._raw_step = raw_step
+        self._step_fn = jax.jit(self._raw_step, static_argnames=("max_iter",))
 
     # ------------------------------------------------------------------
     # host orchestration + reference split-phase API
@@ -442,11 +583,42 @@ class FractionalStep_AB_CN:
                 out[i, bc.dofs] = bc.values
         return jnp.asarray(out, dtype=self._dtype)
 
-    def _pressure_surface(self):
-        if not self._bcs_p:
-            return None
-        hq = [bcp.value_at_facet_qp(self._ctx) for bcp in self._bcs_p]
-        return self._surface_vecs(hq)
+    def _h_qvals(self):
+        """Per-PressureBC outlet values at facet quadrature points.
+
+        With a sharded mesh the function-valued case is evaluated under
+        shard_map (facet tables + localized cell ids are per-shard)."""
+        if self._axis is None:
+            return [bcp.value_at_facet_qp(self._ctx) for bcp in self._bcs_p]
+        from jax.sharding import PartitionSpec as P
+
+        from .assembly.facets import facet_eval_q
+        from .parallel.sharding import context_specs, facet_specs
+
+        out = []
+        for bcp, fctx in zip(self._bcs_p, self._fctxs):
+            if bcp._u is not None:
+                vals = jax.jit(
+                    jax.shard_map(
+                        facet_eval_q,
+                        mesh=self._device_mesh,
+                        in_specs=(
+                            context_specs(self._ctx, self._axis),
+                            facet_specs(fctx, self._axis),
+                            P(),
+                        ),
+                        out_specs=P(self._axis, None),
+                    )
+                )(self._ctx, fctx, jnp.asarray(bcp._u.x.array, self._dtype))
+            else:
+                from .spaces.functionspace import Constant
+
+                v = bcp._value.value if isinstance(bcp._value, Constant) else bcp._value
+                vals = jnp.full(
+                    (fctx.scale.shape[0], fctx.qw.shape[0]), float(v), dtype=self._dtype
+                )
+            out.append(vals)
+        return out
 
     def solve(self, dt: float, nu: float, max_error: float = 1e-12, max_iter: int = 10):
         """Propagate one time step (reference fracstep.py:660-696)."""
@@ -456,16 +628,15 @@ class FractionalStep_AB_CN:
         for bcp in self._bcs_p:
             bcp.update_bc()
         state = self._state_from_functions()
-        dt_ = jnp.asarray(dt, dtype=self._dtype)
-        nu_ = jnp.asarray(nu, dtype=self._dtype)
         state, stats = self._step_fn(
+            self._params(),
             state,
-            dt_,
-            nu_,
+            jnp.asarray(dt, dtype=self._dtype),
+            jnp.asarray(nu, dtype=self._dtype),
             self._bc_value_arrays(),
-            self._pressure_surface(),
+            self._h_qvals(),
             jnp.asarray(max_error, dtype=self._dtype),
-            max_iter,
+            max_iter=max_iter,
         )
         self._state_to_functions(state)
         self.last_stats = {k: np.asarray(v) for k, v in stats.items()}
@@ -478,6 +649,30 @@ class FractionalStep_AB_CN:
         self.u  # refresh vector output (fracstep.py:695)
         return float(self.last_stats["diff"])
 
+    def run(self, num_steps: int, dt: float, nu: float, max_error: float = 1e-12, max_iter: int = 1):
+        """Advance ``num_steps`` entirely on device (lax.scan over steps) —
+        the performance path for benchmarks. Requires time-independent BC
+        values over the window. Returns aggregate stats."""
+        state = self._state_from_functions()
+        bc_vals = self._bc_value_arrays()
+        h_qvals = self._h_qvals()
+        dt_ = jnp.asarray(dt, dtype=self._dtype)
+        nu_ = jnp.asarray(nu, dtype=self._dtype)
+        me = jnp.asarray(max_error, dtype=self._dtype)
+        P = self._params()
+
+        @partial(jax.jit, static_argnames=("n", "max_iter"))
+        def multi(P, state, n, max_iter):
+            def body(state, _):
+                return self._raw_step(P, state, dt_, nu_, bc_vals, h_qvals, me, max_iter)
+
+            return jax.lax.scan(body, state, None, length=n)
+
+        state, stats = multi(P, state, num_steps, max_iter)
+        self._state_to_functions(state)
+        self.last_stats = {k: np.asarray(v) for k, v in stats.items()}
+        return self.last_stats
+
     # --- split-phase methods (eager, for differential tests mirroring
     # test/test_tentative_velocity.py usage) --------------------------------
     def assemble_first(self, dt: float, nu: float) -> None:
@@ -488,11 +683,12 @@ class FractionalStep_AB_CN:
         for bcp in self._bcs_p:
             bcp.update_bc()
         uab, A_lhs, b_first = self._assemble_first_dev(
+            self._params(),
             u1,
             u2,
             jnp.asarray(dt, dtype=self._dtype),
             jnp.asarray(nu, dtype=self._dtype),
-            self._pressure_surface(),
+            self._h_qvals(),
         )
         self._A_elems = A_lhs
         for i in range(self._mesh.dim):
@@ -502,7 +698,9 @@ class FractionalStep_AB_CN:
         b_first = jnp.asarray(
             np.stack([g.x.array for g in self._b_first]), dtype=self._dtype
         )
-        rhs1 = self._tentative_assemble_dev(b_first, jnp.asarray(self._ps.x.array, self._dtype))
+        rhs1 = self._tentative_assemble_dev(
+            self._params(), b_first, jnp.asarray(self._ps.x.array, self._dtype)
+        )
         for i in range(self._mesh.dim):
             self._rhs1[i].x.array[:] = np.asarray(rhs1[i])
 
@@ -515,7 +713,7 @@ class FractionalStep_AB_CN:
         rhs1 = jnp.asarray(np.stack([g.x.array for g in self._rhs1]), dtype=self._dtype)
         u = jnp.asarray(np.stack([g.x.array for g in self._u]), dtype=self._dtype)
         u_new, diff, iters, conv = self._tentative_solve_dev(
-            self._A_elems, rhs1, self._bc_value_arrays(), u
+            self._params(), self._A_elems, rhs1, self._bc_value_arrays(), u
         )
         for i in range(self._mesh.dim):
             self._u[i].x.array[:] = np.asarray(u_new[i])
@@ -524,12 +722,13 @@ class FractionalStep_AB_CN:
 
     def pressure_assemble(self, dt: float) -> None:
         u = jnp.asarray(np.stack([g.x.array for g in self._u]), dtype=self._dtype)
-        b2 = self._pressure_assemble_dev(u, jnp.asarray(dt, self._dtype))
+        b2 = self._pressure_assemble_dev(self._params(), u, jnp.asarray(dt, self._dtype))
         self._b2.x.array[:] = np.asarray(b2)
 
     def pressure_solve(self, nu: float | None = None):
         u = jnp.asarray(np.stack([g.x.array for g in self._u]), dtype=self._dtype)
         dp, ps, iters, conv = self._pressure_solve_dev(
+            self._params(),
             jnp.asarray(self._b2.x.array, self._dtype),
             jnp.asarray(self._p.x.array, self._dtype),
             jnp.asarray(self._dp.x.array, self._dtype),
@@ -543,7 +742,7 @@ class FractionalStep_AB_CN:
     def velocity_update(self, dt: float):
         u = jnp.asarray(np.stack([g.x.array for g in self._u]), dtype=self._dtype)
         u_new, iters, conv = self._velocity_update_dev(
-            u, jnp.asarray(self._dp.x.array, self._dtype), jnp.asarray(dt, self._dtype)
+            self._params(), u, jnp.asarray(self._dp.x.array, self._dtype), jnp.asarray(dt, self._dtype)
         )
         for i in range(self._mesh.dim):
             self._u[i].x.array[:] = np.asarray(u_new[i])

@@ -1,0 +1,172 @@
+"""Cell-batch sharding over a device mesh (SPMD domain decomposition).
+
+The TPU-native equivalent of the reference's entire parallelism story
+(SURVEY §2b L0: MPI domain decomposition with owner/ghost scatters): cells
+(and tagged boundary facets) are partitioned into per-device blocks; every
+assembly / SpMV runs per-shard under ``shard_map`` and folds cross-shard
+dof contributions with a ``psum`` over the ICI mesh axis; dof vectors and
+Krylov scalars are replicated (dot products need no extra collective).
+
+Round-1 design note: this is the replicated-dof-vector variant — simple,
+exactly correct, one all-reduce per operator application. The
+halo-exchange variant (owned-dof sharding + ``ppermute`` neighbor
+exchange, SURVEY §5 'long-context analogue') is the planned optimization
+for very large meshes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..assembly.engine import DeviceContext
+from ..assembly.facets import FacetContext
+
+
+def pad_cell_array(arr: np.ndarray, nc_pad: int, fill=0):
+    """Pad the leading (cell) axis to ``nc_pad`` with ``fill``."""
+    arr = np.asarray(arr)
+    nc = arr.shape[0]
+    if nc == nc_pad:
+        return arr
+    pad = np.full((nc_pad - nc,) + arr.shape[1:], fill, dtype=arr.dtype)
+    return np.concatenate([arr, pad], axis=0)
+
+
+def context_specs(ctx: DeviceContext, axis: str) -> DeviceContext:
+    """PartitionSpec pytree matching DeviceContext: cell arrays sharded on
+    ``axis``, tabulation tables replicated."""
+    return DeviceContext(
+        cd_v=P(axis, None),
+        cd_q=P(axis, None),
+        detJ=P(axis),
+        Kinv=P(axis, None, None),
+        G=P(axis, None, None),
+        qw=P(),
+        phi_v=P(),
+        dphi_v=P(),
+        phi_q=P(),
+        dphi_q=P(),
+        mass_ref=P(),
+        massq_ref=P(),
+        stiff_ref=P(),
+        stiffq_ref=P(),
+        conv_ref=P(),
+        mixed_ref=P(),
+        gradq_ref=P(),
+        load_ref=P(),
+        ndofs_v=ctx.ndofs_v,
+        ndofs_q=ctx.ndofs_q,
+        dim=ctx.dim,
+        axis=axis,
+    )
+
+
+def facet_specs(fctx: FacetContext, axis: str) -> FacetContext:
+    return FacetContext(
+        cells=P(axis),
+        local=P(axis),
+        scale=P(axis),
+        normal=P(axis, None),
+        qw=P(),
+        phi_v=P(),
+        dphi_v=P(),
+        phi_q=P(),
+        nfacets=fctx.nfacets,
+    )
+
+
+def _put(mesh: Mesh, spec_tree, value_tree):
+    return jax.tree_util.tree_map(
+        lambda v, s: jax.device_put(v, NamedSharding(mesh, s)), value_tree, spec_tree
+    )
+
+
+def shard_problem(
+    mesh: Mesh, ctx: DeviceContext, fctxs: list[FacetContext]
+) -> tuple[str, DeviceContext, list[FacetContext], int]:
+    """Shard a DeviceContext (+ facet contexts) over a 1-axis device mesh.
+
+    Cells are padded (detJ = 0 => zero contributions) to a multiple of the
+    device count and split into contiguous blocks. Tagged facets are
+    assigned to the shard owning their cell, padded per shard (scale = 0),
+    and their cell indices localized to the shard's block.
+
+    Returns (axis_name, sharded ctx, sharded fctxs, cells_per_shard).
+    """
+    if len(mesh.axis_names) != 1:
+        raise ValueError("expected a 1-axis device mesh for cell sharding")
+    axis = mesh.axis_names[0]
+    ndev = int(np.prod(mesh.devices.shape))
+    nc = ctx.detJ.shape[0]
+    B = -(-nc // ndev)  # cells per shard
+    nc_pad = B * ndev
+    d = ctx.dim
+
+    eye = np.broadcast_to(np.eye(d), (nc_pad - nc, d, d)) if nc_pad > nc else None
+
+    def padded(x, fill=0, identity=False):
+        x = np.asarray(x)
+        if identity and nc_pad > nc:
+            return np.concatenate([x, eye.astype(x.dtype)], axis=0)
+        return pad_cell_array(x, nc_pad, fill)
+
+    new_ctx = DeviceContext(
+        cd_v=padded(ctx.cd_v),
+        cd_q=padded(ctx.cd_q),
+        detJ=padded(ctx.detJ),
+        Kinv=padded(ctx.Kinv, identity=True),
+        G=padded(ctx.G, identity=True),
+        qw=np.asarray(ctx.qw),
+        phi_v=np.asarray(ctx.phi_v),
+        dphi_v=np.asarray(ctx.dphi_v),
+        phi_q=np.asarray(ctx.phi_q),
+        dphi_q=np.asarray(ctx.dphi_q),
+        mass_ref=np.asarray(ctx.mass_ref),
+        massq_ref=np.asarray(ctx.massq_ref),
+        stiff_ref=np.asarray(ctx.stiff_ref),
+        stiffq_ref=np.asarray(ctx.stiffq_ref),
+        conv_ref=np.asarray(ctx.conv_ref),
+        mixed_ref=np.asarray(ctx.mixed_ref),
+        gradq_ref=np.asarray(ctx.gradq_ref),
+        load_ref=np.asarray(ctx.load_ref),
+        ndofs_v=ctx.ndofs_v,
+        ndofs_q=ctx.ndofs_q,
+        dim=ctx.dim,
+        axis=axis,
+    )
+    new_ctx = _put(mesh, context_specs(new_ctx, axis), new_ctx)
+
+    new_fctxs = []
+    for f in fctxs:
+        cells = np.asarray(f.cells)
+        shard_of = cells // B
+        counts = np.bincount(shard_of, minlength=ndev)
+        F = int(counts.max()) if len(cells) else 1
+        nf_pad = F * ndev
+
+        def grouped(x, fill=0):
+            x = np.asarray(x)
+            out = np.full((ndev, F) + x.shape[1:], fill, dtype=x.dtype)
+            for s in range(ndev):
+                sel = x[shard_of == s]
+                out[s, : sel.shape[0]] = sel
+            return out.reshape((nf_pad,) + x.shape[1:])
+
+        new_f = FacetContext(
+            cells=grouped(cells - shard_of * B),  # localized
+            local=grouped(f.local),
+            scale=grouped(f.scale),  # padding rows have scale 0
+            normal=grouped(f.normal),
+            qw=np.asarray(f.qw),
+            phi_v=np.asarray(f.phi_v),
+            dphi_v=np.asarray(f.dphi_v),
+            phi_q=np.asarray(f.phi_q),
+            nfacets=nf_pad,
+        )
+        new_fctxs.append(_put(mesh, facet_specs(new_f, axis), new_f))
+
+    return axis, new_ctx, new_fctxs, B
