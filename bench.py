@@ -1,0 +1,117 @@
+"""Headline benchmark: 3D Taylor-Green IPCS stepping throughput on TPU.
+
+Target metric (BASELINE.md north star): time-steps/sec and MDOF-updates/s
+on 3D Taylor-Green at ~1M velocity DOFs (P2/P1 tetrahedral Taylor-Hood),
+solver iterations per step as the efficiency metric.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
+
+``vs_baseline``: the reference publishes no absolute numbers (BASELINE.md),
+and its CPU PETSc stack is not installable in this image; the baseline here
+is the same solver executed on the host CPU backend (single process) at a
+smaller mesh, compared via the size-normalized MDOF-updates/s rate. This is
+a *proxy* for the reference CPU baseline and is labeled as such.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_solver(N, dtype, device_mesh=None, rtol=1e-5):
+    from oasisx_tpu import DirichletBC, FractionalStep_AB_CN, LocatorMethod
+    from oasisx_tpu.meshes import create_box, meshtags
+
+    mesh = create_box((-1.0, -1.0, -1.0), (1.0, 1.0, 1.0), (N, N, N))
+    facets = mesh.exterior_facet_indices()
+    tags = meshtags(mesh, mesh.dim - 1, facets, np.full_like(facets, 1))
+
+    # 3D Taylor-Green initial field (Re=1600 convention, L=1)
+    def ux(x):
+        return np.sin(np.pi * x[0]) * np.cos(np.pi * x[1]) * np.cos(np.pi * x[2])
+
+    def uy(x):
+        return -np.cos(np.pi * x[0]) * np.sin(np.pi * x[1]) * np.cos(np.pi * x[2])
+
+    def uz(x):
+        return np.zeros_like(x[0])
+
+    bcs_u = [
+        [DirichletBC(f, LocatorMethod.TOPOLOGICAL, (tags, 1))] for f in (ux, uy, uz)
+    ]
+    opts = {"ksp_rtol": rtol, "ksp_max_it": 2000}
+    solver = FractionalStep_AB_CN(
+        mesh,
+        ("Lagrange", 2),
+        ("Lagrange", 1),
+        bcs_u=bcs_u,
+        bcs_p=[],
+        solver_options={"tentative": dict(opts), "pressure": dict(opts), "scalar": dict(opts)},
+        dtype=dtype,
+        device_mesh=device_mesh,
+    )
+    for f, u1, u2 in zip((ux, uy, uz), solver._u1, solver._u2):
+        u1.interpolate(f)
+        u2.interpolate(f)
+    return solver
+
+
+def measure(solver, dt, nu, steps=5):
+    # warmup with the same static step count so the timed call hits the
+    # compile cache (lax.scan length is static)
+    solver.run(steps, dt, nu, max_iter=1)
+    t0 = time.perf_counter()
+    stats = solver.run(steps, dt, nu, max_iter=1)
+    t1 = time.perf_counter()
+    assert np.isfinite(solver._u[0].x.array).all(), "NaN in velocity"
+    return (t1 - t0) / steps, stats
+
+
+def main():
+    import jax
+
+    dt, nu = 2e-3, 1.0 / 1600.0
+
+    # --- TPU (or default-device) run at ~1M velocity DOFs ------------------
+    N = 40  # scalar P2 dofs ~ 357k -> ~1.07M velocity dofs
+    solver = build_solver(N, dtype=np.float32)
+    nvel = 3 * solver._Vi[0][0].num_dofs
+    sec_per_step, stats = measure(solver, dt, nu)
+    steps_per_sec = 1.0 / sec_per_step
+    mdof_rate = nvel * steps_per_sec / 1e6
+
+    # --- CPU proxy baseline (same solver, CPU backend, smaller mesh) -------
+    cpu_rate = None
+    try:
+        cpu = jax.devices("cpu")
+        if cpu and jax.devices()[0].platform != "cpu":
+            import jax.numpy as jnp
+
+            with jax.default_device(cpu[0]):
+                s_cpu = build_solver(12, dtype=np.float32)
+                nvel_cpu = 3 * s_cpu._Vi[0][0].num_dofs
+                sec_cpu, _ = measure(s_cpu, dt, nu, steps=3)
+                cpu_rate = nvel_cpu / sec_cpu / 1e6
+    except Exception as e:  # pragma: no cover
+        print(f"cpu-baseline failed: {e}", file=sys.stderr)
+
+    out = {
+        "metric": "3D Taylor-Green IPCS throughput (P2/P1, ~1M velocity DOFs)",
+        "value": round(mdof_rate, 3),
+        "unit": "MDOF-updates/s",
+        "vs_baseline": round(mdof_rate / cpu_rate, 2) if cpu_rate else None,
+        "steps_per_sec": round(steps_per_sec, 4),
+        "velocity_dofs": int(nvel),
+        "platform": jax.devices()[0].platform,
+        "u_iters_mean": float(np.mean(stats["u_iters"])),
+        "p_iters_mean": float(np.mean(stats["p_iters"])),
+        "cpu_proxy_mdof_per_s": round(cpu_rate, 3) if cpu_rate else None,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

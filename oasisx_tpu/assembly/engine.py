@@ -58,6 +58,13 @@ class DeviceContext:
     mixed_ref: jax.Array
     gradq_ref: jax.Array
     load_ref: jax.Array
+    # transpose-gather scatter maps: for each dof, the positions in the
+    # flattened per-cell value array that contribute to it (padded with a
+    # sentinel pointing at an appended zero slot). Scatter-add then becomes
+    # gather + dense row-sum — the TPU-fast formulation (XLA scatter-add with
+    # colliding indices serializes; gathers pipeline).
+    pos_v: jax.Array | None  # (ndofs_v, m_v) int32
+    pos_q: jax.Array | None  # (ndofs_q, m_q) int32
     # static sizes
     ndofs_v: int = field(metadata=dict(static=True))
     ndofs_q: int = field(metadata=dict(static=True))
@@ -67,6 +74,23 @@ class DeviceContext:
     # owner/ghost scatters (SURVEY L0): per-shard segment-sums followed by
     # an ICI psum.
     axis: str | None = field(default=None, metadata=dict(static=True))
+
+
+def build_transpose_map(cell_dofs: np.ndarray, num_dofs: int) -> np.ndarray:
+    """Invert a (nc, nd) cell-dof map: (num_dofs, m) positions into the
+    flattened (nc*nd) per-cell value array, sentinel-padded with nc*nd."""
+    cd = np.asarray(cell_dofs).reshape(-1)
+    order = np.argsort(cd, kind="stable")
+    counts = np.bincount(cd, minlength=num_dofs)
+    m = int(counts.max()) if len(cd) else 1
+    sentinel = cd.shape[0]
+    pos = np.full((num_dofs, m), sentinel, dtype=np.int32)
+    starts = np.zeros(num_dofs + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    # ragged fill: column index of each sorted entry within its dof row
+    col = np.arange(len(cd)) - starts[cd[order]]
+    pos[cd[order], col] = order
+    return pos
 
 
 def build_device_context(
@@ -103,6 +127,8 @@ def build_device_context(
         mixed_ref=a(refs.mixed_grad),
         gradq_ref=a(refs.grad_q),
         load_ref=a(refs.load),
+        pos_v=jnp.asarray(build_transpose_map(cd_v, ndofs_v)),
+        pos_q=jnp.asarray(build_transpose_map(cd_q, ndofs_q)),
         ndofs_v=int(ndofs_v),
         ndofs_q=int(ndofs_q),
         dim=mesh.dim,
@@ -129,6 +155,29 @@ def scatter_add(
     if axis is not None:
         y = jax.lax.psum(y, axis)
     return y
+
+
+def _transpose_scatter(vals: jax.Array, pos: jax.Array, axis: str | None) -> jax.Array:
+    """Gather-based scatter-add: sum the (sentinel-padded) contributing
+    positions per dof. Pure gather + dense reduction — fast on TPU."""
+    flat = jnp.concatenate([vals.reshape(-1), jnp.zeros((1,), vals.dtype)])
+    y = jnp.sum(flat[pos], axis=1)
+    if axis is not None:
+        y = jax.lax.psum(y, axis)
+    return y
+
+
+def scatter_v(ctx: DeviceContext, vals: jax.Array) -> jax.Array:
+    """Scatter per-cell V-local values (nc, ndv) into the global dof vector."""
+    if ctx.pos_v is not None:
+        return _transpose_scatter(vals, ctx.pos_v, ctx.axis)
+    return scatter_add(vals, ctx.cd_v, ctx.ndofs_v, ctx.axis)
+
+
+def scatter_q(ctx: DeviceContext, vals: jax.Array) -> jax.Array:
+    if ctx.pos_q is not None:
+        return _transpose_scatter(vals, ctx.pos_q, ctx.axis)
+    return scatter_add(vals, ctx.cd_q, ctx.ndofs_q, ctx.axis)
 
 
 # ---------------------------------------------------------------------------
@@ -183,36 +232,36 @@ def grad_p_mats(ctx: DeviceContext) -> jax.Array:
 def matvec_v(ctx: DeviceContext, elems: jax.Array, x: jax.Array) -> jax.Array:
     """y = A x for an operator on the velocity-component space."""
     ye = jnp.einsum("cij,cj->ci", elems, x[ctx.cd_v])
-    return scatter_add(ye, ctx.cd_v, ctx.ndofs_v, ctx.axis)
+    return scatter_v(ctx, ye)
 
 
 def matvec_q(ctx: DeviceContext, elems: jax.Array, x: jax.Array) -> jax.Array:
     ye = jnp.einsum("cij,cj->ci", elems, x[ctx.cd_q])
-    return scatter_add(ye, ctx.cd_q, ctx.ndofs_q, ctx.axis)
+    return scatter_q(ctx, ye)
 
 
 def matvec_vq(ctx: DeviceContext, elems: jax.Array, p: jax.Array) -> jax.Array:
     """y_V = B p for a mixed operator with element matrices (nc, ndv, ndq)
     (preassembled p*v.dx(i) matrices, fracstep.py:311-315,501)."""
     ye = jnp.einsum("cjm,cm->cj", elems, p[ctx.cd_q])
-    return scatter_add(ye, ctx.cd_v, ctx.ndofs_v, ctx.axis)
+    return scatter_v(ctx, ye)
 
 
 def matvec_qv(ctx: DeviceContext, elems: jax.Array, u: jax.Array) -> jax.Array:
     """y_Q = D u for a mixed operator with element matrices (nc, ndq, ndv)
     (preassembled u.dx(i) q matrices, fracstep.py:332-336,541)."""
     ye = jnp.einsum("cmj,cj->cm", elems, u[ctx.cd_v])
-    return scatter_add(ye, ctx.cd_q, ctx.ndofs_q, ctx.axis)
+    return scatter_q(ctx, ye)
 
 
 def diagonal_v(ctx: DeviceContext, elems: jax.Array) -> jax.Array:
     d = jnp.einsum("cii->ci", elems)
-    return scatter_add(d, ctx.cd_v, ctx.ndofs_v, ctx.axis)
+    return scatter_v(ctx, d)
 
 
 def diagonal_q(ctx: DeviceContext, elems: jax.Array) -> jax.Array:
     d = jnp.einsum("cii->ci", elems)
-    return scatter_add(d, ctx.cd_q, ctx.ndofs_q, ctx.axis)
+    return scatter_q(ctx, d)
 
 
 # ---------------------------------------------------------------------------
@@ -225,7 +274,7 @@ def pressure_gradient_vecs(ctx: DeviceContext, p: jax.Array) -> jax.Array:
     """r_i = assemble(p * v.dx(i) dx) for all components at once: (d, ndofs_v)."""
     pe = p[ctx.cd_q]  # (nc, m)
     re = jnp.einsum("c,cbg,bjm,cm->gcj", ctx.detJ, ctx.Kinv, ctx.mixed_ref, pe)
-    return jax.vmap(lambda v: scatter_add(v, ctx.cd_v, ctx.ndofs_v, ctx.axis))(re)
+    return jax.vmap(lambda v: scatter_v(ctx, v))(re)
 
 
 def divergence_vec(ctx: DeviceContext, u: jax.Array) -> jax.Array:
@@ -233,7 +282,7 @@ def divergence_vec(ctx: DeviceContext, u: jax.Array) -> jax.Array:
     (fracstep.py:327-329)."""
     ue = u[:, ctx.cd_v]  # (g, nc, j)
     be = jnp.einsum("c,cbg,bmj,gcj->cm", ctx.detJ, ctx.Kinv, _mixed_T(ctx), ue)
-    return scatter_add(be, ctx.cd_q, ctx.ndofs_q, ctx.axis)
+    return scatter_q(ctx, be)
 
 
 def _mixed_T(ctx: DeviceContext) -> jax.Array:
@@ -245,25 +294,25 @@ def grad_p_vecs(ctx: DeviceContext, dp: jax.Array) -> jax.Array:
     (velocity update, fracstep.py:342-345,618)."""
     pe = dp[ctx.cd_q]
     re = jnp.einsum("c,cbg,bjm,cm->gcj", ctx.detJ, ctx.Kinv, ctx.gradq_ref, pe)
-    return jax.vmap(lambda v: scatter_add(v, ctx.cd_v, ctx.ndofs_v, ctx.axis))(re)
+    return jax.vmap(lambda v: scatter_v(ctx, v))(re)
 
 
 def constant_load_vec(ctx: DeviceContext, f: jax.Array) -> jax.Array:
     """assemble(f * v dx) for constant scalar f: (ndofs_v,) (fracstep.py:289)."""
     ve = f * ctx.detJ[:, None] * ctx.load_ref[None, :]
-    return scatter_add(ve, ctx.cd_v, ctx.ndofs_v, ctx.axis)
+    return scatter_v(ctx, ve)
 
 
 def source_load_vec_q(ctx: DeviceContext, vals_qp: jax.Array) -> jax.Array:
     """assemble(g * q dx) from values of g at quadrature points (nc, nq),
     into Q — the Projector RHS path (function.py:74)."""
     ve = jnp.einsum("cq,q,qm,c->cm", vals_qp, ctx.qw, ctx.phi_q, ctx.detJ)
-    return scatter_add(ve, ctx.cd_q, ctx.ndofs_q, ctx.axis)
+    return scatter_q(ctx, ve)
 
 
 def source_load_vec_v(ctx: DeviceContext, vals_qp: jax.Array) -> jax.Array:
     ve = jnp.einsum("cq,q,qj,c->cj", vals_qp, ctx.qw, ctx.phi_v, ctx.detJ)
-    return scatter_add(ve, ctx.cd_v, ctx.ndofs_v, ctx.axis)
+    return scatter_v(ctx, ve)
 
 
 # ---------------------------------------------------------------------------
@@ -345,3 +394,27 @@ def elems_to_dense(elems: np.ndarray, rows: np.ndarray, cols: np.ndarray, nr: in
         e.reshape(-1),
     )
     return A
+
+
+# ---------------------------------------------------------------------------
+# fused setup (one compile): all constant operators at once
+# ---------------------------------------------------------------------------
+
+
+def setup_constants(ctx: DeviceContext) -> dict:
+    """All time-independent element matrices/diagonals in one program
+    (replaces ~10 separate eager compiles at setup — matters on remote-
+    compile backends)."""
+    M = mass_elems(ctx)
+    K = stiffness_elems(ctx)
+    Ap = stiffness_q_elems(ctx)
+    Mq = mass_q_elems(ctx)
+    return dict(
+        M=M,
+        K=K,
+        Ap=Ap,
+        Mq=Mq,
+        M_diag=diagonal_v(ctx, M),
+        Ap_diag=diagonal_q(ctx, Ap),
+        vol=cell_volume_total(ctx),
+    )

@@ -222,17 +222,19 @@ class FractionalStep_AB_CN:
         d = self._mesh.dim
         ax = self._axis
         cell2 = P(ax, None, None) if ax else None
-        self._M_elems = self._on_mesh(eng.mass_elems, cell2)
-        self._K_elems = self._on_mesh(eng.stiffness_elems, cell2)
-        self._Ap_elems = self._on_mesh(eng.stiffness_q_elems, cell2)
-        self._Mq_elems = self._on_mesh(eng.mass_q_elems, cell2)
-        self._M_diag = self._on_mesh(
-            eng.diagonal_v, P() if ax else None, self._M_elems, arg_specs=(cell2,) if ax else ()
+        const_specs = (
+            dict(M=cell2, K=cell2, Ap=cell2, Mq=cell2, M_diag=P(), Ap_diag=P(), vol=P())
+            if ax
+            else None
         )
-        ap_diag = self._on_mesh(
-            eng.diagonal_q, P() if ax else None, self._Ap_elems, arg_specs=(cell2,) if ax else ()
-        )
-        self._vol = float(self._on_mesh(eng.cell_volume_total, P() if ax else None))
+        consts = self._on_mesh(jax.jit(eng.setup_constants), const_specs)
+        self._M_elems = consts["M"]
+        self._K_elems = consts["K"]
+        self._Ap_elems = consts["Ap"]
+        self._Mq_elems = consts["Mq"]
+        self._M_diag = consts["M_diag"]
+        ap_diag = consts["Ap_diag"]
+        self._vol = float(consts["vol"])
         self._Ap_diag = jnp.where(self._pbc_mask, 1.0, ap_diag) if self._have_pbc else ap_diag
 
         # body force (fracstep.py:283-289, 386-390)

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..assembly.engine import DeviceContext
+from ..assembly.engine import DeviceContext, build_transpose_map
 from ..assembly.facets import FacetContext
 
 
@@ -58,6 +58,8 @@ def context_specs(ctx: DeviceContext, axis: str) -> DeviceContext:
         mixed_ref=P(),
         gradq_ref=P(),
         load_ref=P(),
+        pos_v=P(axis, None),
+        pos_q=P(axis, None),
         ndofs_v=ctx.ndofs_v,
         ndofs_q=ctx.ndofs_q,
         dim=ctx.dim,
@@ -114,6 +116,30 @@ def shard_problem(
             return np.concatenate([x, eye.astype(x.dtype)], axis=0)
         return pad_cell_array(x, nc_pad, fill)
 
+    def shard_transpose_maps(cd_padded: np.ndarray, num_dofs: int) -> np.ndarray:
+        """Per-shard transpose-gather maps over local cell blocks, padded to
+        a common width and stacked: (ndev*num_dofs, m_max). Padding cells
+        (whose dofmap rows are zero-filled) are excluded so they neither
+        inflate the map width nor contribute; sentinels are remapped to the
+        per-shard flattened length B*nd (identical on every shard)."""
+        nd_local = cd_padded.shape[1]
+        sent = B * nd_local
+        maps = []
+        for s in range(ndev):
+            lo, hi = s * B, min((s + 1) * B, nc)
+            if hi <= lo:
+                maps.append(np.full((num_dofs, 1), sent, dtype=np.int32))
+                continue
+            mp = build_transpose_map(cd_padded[lo:hi], num_dofs)
+            # remap the truncated block's sentinel to the common one
+            mp = np.where(mp == (hi - lo) * nd_local, sent, mp).astype(np.int32)
+            maps.append(mp)
+        m = max(mp.shape[1] for mp in maps)
+        out = np.full((ndev, num_dofs, m), sent, dtype=np.int32)
+        for s, mp in enumerate(maps):
+            out[s, :, : mp.shape[1]] = mp
+        return out.reshape(ndev * num_dofs, m)
+
     new_ctx = DeviceContext(
         cd_v=padded(ctx.cd_v),
         cd_q=padded(ctx.cd_q),
@@ -133,6 +159,8 @@ def shard_problem(
         mixed_ref=np.asarray(ctx.mixed_ref),
         gradq_ref=np.asarray(ctx.gradq_ref),
         load_ref=np.asarray(ctx.load_ref),
+        pos_v=shard_transpose_maps(padded(ctx.cd_v), ctx.ndofs_v),
+        pos_q=shard_transpose_maps(padded(ctx.cd_q), ctx.ndofs_q),
         ndofs_v=ctx.ndofs_v,
         ndofs_q=ctx.ndofs_q,
         dim=ctx.dim,
