@@ -76,7 +76,7 @@ def main():
     dt, nu = 2e-3, 1.0 / 1600.0
 
     # --- TPU (or default-device) run at ~1M velocity DOFs ------------------
-    N = 40  # scalar P2 dofs ~ 357k -> ~1.07M velocity dofs
+    N = 35  # scalar P2 dofs = (2N+1)^3 = 357911 -> 1.074M velocity dofs
     solver = build_solver(N, dtype=np.float32)
     nvel = 3 * solver._Vi[0][0].num_dofs
     sec_per_step, stats = measure(solver, dt, nu)
