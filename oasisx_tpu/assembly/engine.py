@@ -74,6 +74,11 @@ class DeviceContext:
     # owner/ghost scatters (SURVEY L0): per-shard segment-sums followed by
     # an ICI psum.
     axis: str | None = field(default=None, metadata=dict(static=True))
+    # structured-grid fast-path maps (assembly/structured.py): when set,
+    # gather/scatter use static strided slices on the dof lattice and dof
+    # vectors are in grid (C-order lattice) ordering.
+    sv: tuple | None = field(default=None, metadata=dict(static=True))
+    sq: tuple | None = field(default=None, metadata=dict(static=True))
 
 
 def build_transpose_map(cell_dofs: np.ndarray, num_dofs: int) -> np.ndarray:
@@ -169,15 +174,40 @@ def _transpose_scatter(vals: jax.Array, pos: jax.Array, axis: str | None) -> jax
 
 def scatter_v(ctx: DeviceContext, vals: jax.Array) -> jax.Array:
     """Scatter per-cell V-local values (nc, ndv) into the global dof vector."""
+    if ctx.sv is not None:
+        from .structured import structured_scatter
+
+        return structured_scatter(vals, ctx.sv, ctx.axis)
     if ctx.pos_v is not None:
         return _transpose_scatter(vals, ctx.pos_v, ctx.axis)
     return scatter_add(vals, ctx.cd_v, ctx.ndofs_v, ctx.axis)
 
 
 def scatter_q(ctx: DeviceContext, vals: jax.Array) -> jax.Array:
+    if ctx.sq is not None:
+        from .structured import structured_scatter
+
+        return structured_scatter(vals, ctx.sq, ctx.axis)
     if ctx.pos_q is not None:
         return _transpose_scatter(vals, ctx.pos_q, ctx.axis)
     return scatter_add(vals, ctx.cd_q, ctx.ndofs_q, ctx.axis)
+
+
+def gather_v(ctx: DeviceContext, x: jax.Array) -> jax.Array:
+    """Global dof vector -> per-cell local values (nc, ndv)."""
+    if ctx.sv is not None:
+        from .structured import structured_gather
+
+        return structured_gather(x, ctx.sv)
+    return x[ctx.cd_v]
+
+
+def gather_q(ctx: DeviceContext, x: jax.Array) -> jax.Array:
+    if ctx.sq is not None:
+        from .structured import structured_gather
+
+        return structured_gather(x, ctx.sq)
+    return x[ctx.cd_q]
 
 
 # ---------------------------------------------------------------------------
@@ -208,7 +238,7 @@ def stiffness_q_elems(ctx: DeviceContext) -> jax.Array:
 def convection_elems(ctx: DeviceContext, uab: jax.Array) -> jax.Array:
     """((uab . grad) u, v) dx with AB2 convecting velocity ``uab`` of shape
     (d, ndofs_v) — the every-step hot assembly (fracstep.py:355-358,435-437)."""
-    ue = uab[:, ctx.cd_v]  # (g, nc, k)
+    ue = jnp.stack([gather_v(ctx, uab[g]) for g in range(uab.shape[0])])  # (g, nc, k)
     return jnp.einsum("c,cbg,gck,bijk->cij", ctx.detJ, ctx.Kinv, ue, ctx.conv_ref)
 
 
@@ -231,26 +261,26 @@ def grad_p_mats(ctx: DeviceContext) -> jax.Array:
 
 def matvec_v(ctx: DeviceContext, elems: jax.Array, x: jax.Array) -> jax.Array:
     """y = A x for an operator on the velocity-component space."""
-    ye = jnp.einsum("cij,cj->ci", elems, x[ctx.cd_v])
+    ye = jnp.einsum("cij,cj->ci", elems, gather_v(ctx, x))
     return scatter_v(ctx, ye)
 
 
 def matvec_q(ctx: DeviceContext, elems: jax.Array, x: jax.Array) -> jax.Array:
-    ye = jnp.einsum("cij,cj->ci", elems, x[ctx.cd_q])
+    ye = jnp.einsum("cij,cj->ci", elems, gather_q(ctx, x))
     return scatter_q(ctx, ye)
 
 
 def matvec_vq(ctx: DeviceContext, elems: jax.Array, p: jax.Array) -> jax.Array:
     """y_V = B p for a mixed operator with element matrices (nc, ndv, ndq)
     (preassembled p*v.dx(i) matrices, fracstep.py:311-315,501)."""
-    ye = jnp.einsum("cjm,cm->cj", elems, p[ctx.cd_q])
+    ye = jnp.einsum("cjm,cm->cj", elems, gather_q(ctx, p))
     return scatter_v(ctx, ye)
 
 
 def matvec_qv(ctx: DeviceContext, elems: jax.Array, u: jax.Array) -> jax.Array:
     """y_Q = D u for a mixed operator with element matrices (nc, ndq, ndv)
     (preassembled u.dx(i) q matrices, fracstep.py:332-336,541)."""
-    ye = jnp.einsum("cmj,cj->cm", elems, u[ctx.cd_v])
+    ye = jnp.einsum("cmj,cj->cm", elems, gather_v(ctx, u))
     return scatter_q(ctx, ye)
 
 
@@ -272,7 +302,7 @@ def diagonal_q(ctx: DeviceContext, elems: jax.Array) -> jax.Array:
 
 def pressure_gradient_vecs(ctx: DeviceContext, p: jax.Array) -> jax.Array:
     """r_i = assemble(p * v.dx(i) dx) for all components at once: (d, ndofs_v)."""
-    pe = p[ctx.cd_q]  # (nc, m)
+    pe = gather_q(ctx, p)  # (nc, m)
     re = jnp.einsum("c,cbg,bjm,cm->gcj", ctx.detJ, ctx.Kinv, ctx.mixed_ref, pe)
     return jax.vmap(lambda v: scatter_v(ctx, v))(re)
 
@@ -280,7 +310,7 @@ def pressure_gradient_vecs(ctx: DeviceContext, p: jax.Array) -> jax.Array:
 def divergence_vec(ctx: DeviceContext, u: jax.Array) -> jax.Array:
     """assemble(div(u) q dx) for u of shape (d, ndofs_v): (ndofs_q,)
     (fracstep.py:327-329)."""
-    ue = u[:, ctx.cd_v]  # (g, nc, j)
+    ue = jnp.stack([gather_v(ctx, u[g]) for g in range(u.shape[0])])  # (g, nc, j)
     be = jnp.einsum("c,cbg,bmj,gcj->cm", ctx.detJ, ctx.Kinv, _mixed_T(ctx), ue)
     return scatter_q(ctx, be)
 
@@ -292,7 +322,7 @@ def _mixed_T(ctx: DeviceContext) -> jax.Array:
 def grad_p_vecs(ctx: DeviceContext, dp: jax.Array) -> jax.Array:
     """r_i = assemble(dp.dx(i) * v dx) for all components: (d, ndofs_v)
     (velocity update, fracstep.py:342-345,618)."""
-    pe = dp[ctx.cd_q]
+    pe = gather_q(ctx, dp)
     re = jnp.einsum("c,cbg,bjm,cm->gcj", ctx.detJ, ctx.Kinv, ctx.gradq_ref, pe)
     return jax.vmap(lambda v: scatter_v(ctx, v))(re)
 
@@ -323,20 +353,20 @@ def source_load_vec_v(ctx: DeviceContext, vals_qp: jax.Array) -> jax.Array:
 
 def eval_v_at_qp(ctx: DeviceContext, x: jax.Array) -> jax.Array:
     """Values of a V-function at all quadrature points: (nc, nq)."""
-    return jnp.einsum("qj,cj->cq", ctx.phi_v, x[ctx.cd_v])
+    return jnp.einsum("qj,cj->cq", ctx.phi_v, gather_v(ctx, x))
 
 
 def eval_q_at_qp(ctx: DeviceContext, x: jax.Array) -> jax.Array:
-    return jnp.einsum("qm,cm->cq", ctx.phi_q, x[ctx.cd_q])
+    return jnp.einsum("qm,cm->cq", ctx.phi_q, gather_q(ctx, x))
 
 
 def grad_v_at_qp(ctx: DeviceContext, x: jax.Array) -> jax.Array:
     """Physical gradient of a V-function at qp: (nc, nq, d)."""
-    return jnp.einsum("cbg,qbj,cj->cqg", ctx.Kinv, ctx.dphi_v, x[ctx.cd_v])
+    return jnp.einsum("cbg,qbj,cj->cqg", ctx.Kinv, ctx.dphi_v, gather_v(ctx, x))
 
 
 def grad_q_at_qp(ctx: DeviceContext, x: jax.Array) -> jax.Array:
-    return jnp.einsum("cbg,qbm,cm->cqg", ctx.Kinv, ctx.dphi_q, x[ctx.cd_q])
+    return jnp.einsum("cbg,qbm,cm->cqg", ctx.Kinv, ctx.dphi_q, gather_q(ctx, x))
 
 
 def integrate(ctx: DeviceContext, vals_qp: jax.Array) -> jax.Array:

@@ -137,6 +137,32 @@ class FractionalStep_AB_CN:
         for bcp in self._bcs_p:
             bcp.create_bcs(Vi0, self._Q)
         self._fctxs = [bcp.facet_context for bcp in self._bcs_p]
+
+        # structured-grid fast path (assembly/structured.py): static strided
+        # slices replace unstructured gathers when both spaces live on the
+        # generator's dof lattice. Restricted (round 1) to single-device
+        # runs without outlet BCs; dof vectors then use grid ordering
+        # internally, converted at the host boundary via _pv/_uv/_pq/_uq.
+        self._gridflat_v = None
+        self._gridflat_q = None
+        opts_early = options or {}
+        if (
+            mesh.structured is not None
+            and device_mesh is None
+            and not bcs_p
+            and opts_early.get("structured", True)
+        ):
+            from dataclasses import replace as _dc_replace
+
+            from .assembly.structured import build_structured_map
+
+            rv = build_structured_map(mesh, el_u, Vi0.dofmap)
+            rq = build_structured_map(mesh, el_p, self._Q.dofmap)
+            if rv is not None and rq is not None:
+                (sv, gf_v), (sq, gf_q) = rv, rq
+                self._ctx = _dc_replace(self._ctx, sv=sv, sq=sq)
+                self._gridflat_v = gf_v
+                self._gridflat_q = gf_q
         if device_mesh is not None:
             from .parallel.sharding import shard_problem
 
@@ -169,6 +195,32 @@ class FractionalStep_AB_CN:
         self._A_elems = None  # set by assemble_first (split-phase API)
         self.last_stats: dict = {}
 
+    # --- canonical <-> grid dof-order conversion (structured path) --------
+    def _pv(self, arr: np.ndarray) -> np.ndarray:
+        """Canonical V dof order -> internal (grid) order, last axis."""
+        if self._gridflat_v is None:
+            return arr
+        out = np.empty_like(arr)
+        out[..., self._gridflat_v] = arr
+        return out
+
+    def _uv(self, arr: np.ndarray) -> np.ndarray:
+        if self._gridflat_v is None:
+            return arr
+        return arr[..., self._gridflat_v]
+
+    def _pq(self, arr: np.ndarray) -> np.ndarray:
+        if self._gridflat_q is None:
+            return arr
+        out = np.empty_like(arr)
+        out[..., self._gridflat_q] = arr
+        return out
+
+    def _uq(self, arr: np.ndarray) -> np.ndarray:
+        if self._gridflat_q is None:
+            return arr
+        return arr[..., self._gridflat_q]
+
     # ------------------------------------------------------------------
     # setup
     # ------------------------------------------------------------------
@@ -184,13 +236,14 @@ class FractionalStep_AB_CN:
             m, v = bc_mask_and_values(bc_i, nv)
             masks.append(m)
             vals.append(v)
-        self._bc_masks = jnp.asarray(np.stack(masks))  # (d, nv) bool
+        self._bc_masks_np = np.stack(masks)
+        self._bc_masks = jnp.asarray(self._pv(self._bc_masks_np))  # (d, nv) bool
         # matrix rows use component-0 bcs: reference NOTE at fracstep.py:470
-        self._bc_mask0 = jnp.asarray(masks[0])
+        self._bc_mask0 = jnp.asarray(self._pv(masks[0]))
         pmask = np.zeros(nq, dtype=bool)
         for bcp in self._bcs_p:
             pmask[bcp.dofs] = True
-        self._pbc_mask = jnp.asarray(pmask)
+        self._pbc_mask = jnp.asarray(self._pq(pmask))
         self._have_pbc = len(self._bcs_p) > 0
 
     def _on_mesh(self, fn, out_spec, *args, arg_specs=()):
@@ -280,7 +333,7 @@ class FractionalStep_AB_CN:
                         )
                     )
                 )
-            self._b0[i].x.array[:] = b0[i]
+            self._b0[i].x.array[:] = self._uv(b0[i])
         self._b0_dev = jnp.asarray(np.stack(b0), dtype=self._dtype)
 
         # preassembled mixed matrices (low_memory=False, fracstep.py:392-404)
@@ -559,23 +612,28 @@ class FractionalStep_AB_CN:
     # host orchestration + reference split-phase API
     # ------------------------------------------------------------------
     def _state_from_functions(self) -> dict:
-        f = lambda fs: jnp.asarray(np.stack([g.x.array for g in fs]), dtype=self._dtype)
+        f = lambda fs: jnp.asarray(
+            self._pv(np.stack([g.x.array for g in fs])), dtype=self._dtype
+        )
         return dict(
             u=f(self._u),
             u1=f(self._u1),
             u2=f(self._u2),
-            p=jnp.asarray(self._p.x.array, dtype=self._dtype),
-            dp=jnp.asarray(self._dp.x.array, dtype=self._dtype),
+            p=jnp.asarray(self._pq(self._p.x.array), dtype=self._dtype),
+            dp=jnp.asarray(self._pq(self._dp.x.array), dtype=self._dtype),
         )
 
     def _state_to_functions(self, state: dict) -> None:
+        u = self._uv(np.asarray(state["u"]))
+        u1 = self._uv(np.asarray(state["u1"]))
+        u2 = self._uv(np.asarray(state["u2"]))
         for i in range(self._mesh.dim):
-            self._u[i].x.array[:] = np.asarray(state["u"][i])
-            self._u1[i].x.array[:] = np.asarray(state["u1"][i])
-            self._u2[i].x.array[:] = np.asarray(state["u2"][i])
-        self._p.x.array[:] = np.asarray(state["p"])
-        self._ps.x.array[:] = np.asarray(state["p"])
-        self._dp.x.array[:] = np.asarray(state["dp"])
+            self._u[i].x.array[:] = u[i]
+            self._u1[i].x.array[:] = u1[i]
+            self._u2[i].x.array[:] = u2[i]
+        self._p.x.array[:] = self._uq(np.asarray(state["p"]))
+        self._ps.x.array[:] = self._uq(np.asarray(state["p"]))
+        self._dp.x.array[:] = self._uq(np.asarray(state["dp"]))
 
     def _bc_value_arrays(self) -> jax.Array:
         nv = self._Vi[0][0].num_dofs
@@ -583,7 +641,7 @@ class FractionalStep_AB_CN:
         for i, bc_i in enumerate(self._bcs_u):
             for bc in bc_i:
                 out[i, bc.dofs] = bc.values
-        return jnp.asarray(out, dtype=self._dtype)
+        return jnp.asarray(self._pv(out), dtype=self._dtype)
 
     def _h_qvals(self):
         """Per-PressureBC outlet values at facet quadrature points.
@@ -680,8 +738,8 @@ class FractionalStep_AB_CN:
     def assemble_first(self, dt: float, nu: float) -> None:
         for i in range(self._mesh.dim):
             self._uab[i].x.array[:] = 1.5 * self._u1[i].x.array - 0.5 * self._u2[i].x.array
-        u1 = jnp.asarray(np.stack([g.x.array for g in self._u1]), dtype=self._dtype)
-        u2 = jnp.asarray(np.stack([g.x.array for g in self._u2]), dtype=self._dtype)
+        u1 = jnp.asarray(self._pv(np.stack([g.x.array for g in self._u1])), dtype=self._dtype)
+        u2 = jnp.asarray(self._pv(np.stack([g.x.array for g in self._u2])), dtype=self._dtype)
         for bcp in self._bcs_p:
             bcp.update_bc()
         uab, A_lhs, b_first = self._assemble_first_dev(
@@ -693,18 +751,20 @@ class FractionalStep_AB_CN:
             self._h_qvals(),
         )
         self._A_elems = A_lhs
+        bf = self._uv(np.asarray(b_first))
         for i in range(self._mesh.dim):
-            self._b_first[i].x.array[:] = np.asarray(b_first[i])
+            self._b_first[i].x.array[:] = bf[i]
 
     def velocity_tentative_assemble(self) -> None:
         b_first = jnp.asarray(
-            np.stack([g.x.array for g in self._b_first]), dtype=self._dtype
+            self._pv(np.stack([g.x.array for g in self._b_first])), dtype=self._dtype
         )
         rhs1 = self._tentative_assemble_dev(
-            self._params(), b_first, jnp.asarray(self._ps.x.array, self._dtype)
+            self._params(), b_first, jnp.asarray(self._pq(self._ps.x.array), self._dtype)
         )
+        r1 = self._uv(np.asarray(rhs1))
         for i in range(self._mesh.dim):
-            self._rhs1[i].x.array[:] = np.asarray(rhs1[i])
+            self._rhs1[i].x.array[:] = r1[i]
 
     def velocity_tentative_solve(self):
         """Returns (diff, converged reasons per component) like
@@ -712,42 +772,49 @@ class FractionalStep_AB_CN:
         for i, bc_i in enumerate(self._bcs_u):
             for bc in bc_i:
                 bc.apply(self._rhs1[i])
-        rhs1 = jnp.asarray(np.stack([g.x.array for g in self._rhs1]), dtype=self._dtype)
-        u = jnp.asarray(np.stack([g.x.array for g in self._u]), dtype=self._dtype)
+        rhs1 = jnp.asarray(
+            self._pv(np.stack([g.x.array for g in self._rhs1])), dtype=self._dtype
+        )
+        u = jnp.asarray(self._pv(np.stack([g.x.array for g in self._u])), dtype=self._dtype)
         u_new, diff, iters, conv = self._tentative_solve_dev(
             self._params(), self._A_elems, rhs1, self._bc_value_arrays(), u
         )
+        un = self._uv(np.asarray(u_new))
         for i in range(self._mesh.dim):
-            self._u[i].x.array[:] = np.asarray(u_new[i])
+            self._u[i].x.array[:] = un[i]
         errors = np.where(np.asarray(conv), 2, -3).astype(np.int32)
         return float(diff), errors
 
     def pressure_assemble(self, dt: float) -> None:
-        u = jnp.asarray(np.stack([g.x.array for g in self._u]), dtype=self._dtype)
+        u = jnp.asarray(self._pv(np.stack([g.x.array for g in self._u])), dtype=self._dtype)
         b2 = self._pressure_assemble_dev(self._params(), u, jnp.asarray(dt, self._dtype))
-        self._b2.x.array[:] = np.asarray(b2)
+        self._b2.x.array[:] = self._uq(np.asarray(b2))
 
     def pressure_solve(self, nu: float | None = None):
-        u = jnp.asarray(np.stack([g.x.array for g in self._u]), dtype=self._dtype)
+        u = jnp.asarray(self._pv(np.stack([g.x.array for g in self._u])), dtype=self._dtype)
         dp, ps, iters, conv = self._pressure_solve_dev(
             self._params(),
-            jnp.asarray(self._b2.x.array, self._dtype),
-            jnp.asarray(self._p.x.array, self._dtype),
-            jnp.asarray(self._dp.x.array, self._dtype),
+            jnp.asarray(self._pq(self._b2.x.array), self._dtype),
+            jnp.asarray(self._pq(self._p.x.array), self._dtype),
+            jnp.asarray(self._pq(self._dp.x.array), self._dtype),
             u,
             jnp.asarray(0.0 if nu is None else nu, self._dtype),
         )
-        self._dp.x.array[:] = np.asarray(dp)
-        self._ps.x.array[:] = np.asarray(ps)
+        self._dp.x.array[:] = self._uq(np.asarray(dp))
+        self._ps.x.array[:] = self._uq(np.asarray(ps))
         return 2 if bool(conv) else -3
 
     def velocity_update(self, dt: float):
-        u = jnp.asarray(np.stack([g.x.array for g in self._u]), dtype=self._dtype)
+        u = jnp.asarray(self._pv(np.stack([g.x.array for g in self._u])), dtype=self._dtype)
         u_new, iters, conv = self._velocity_update_dev(
-            self._params(), u, jnp.asarray(self._dp.x.array, self._dtype), jnp.asarray(dt, self._dtype)
+            self._params(),
+            u,
+            jnp.asarray(self._pq(self._dp.x.array), self._dtype),
+            jnp.asarray(dt, self._dtype),
         )
+        un = self._uv(np.asarray(u_new))
         for i in range(self._mesh.dim):
-            self._u[i].x.array[:] = np.asarray(u_new[i])
+            self._u[i].x.array[:] = un[i]
         return np.where(np.asarray(conv), 2, -3).astype(np.int32)
 
     # --- introspection helpers ---------------------------------------------
@@ -759,7 +826,7 @@ class FractionalStep_AB_CN:
         n = self._Vi[0][0].num_dofs
         cd = np.asarray(self._ctx.cd_v)
         A = eng.elems_to_dense(np.asarray(self._A_elems), cd, cd, n, n)
-        bc = np.asarray(self._bc_mask0)
+        bc = self._bc_masks_np[0]
         A[bc, :] = 0.0
         A[np.where(bc)[0], np.where(bc)[0]] = 1.0
         return A

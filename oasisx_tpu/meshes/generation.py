@@ -9,13 +9,16 @@ from __future__ import annotations
 
 import numpy as np
 
-from .mesh import Mesh
+from .mesh import Mesh, StructuredInfo
 
 
 def create_interval(n: int, a: float = 0.0, b: float = 1.0) -> Mesh:
     x = np.linspace(a, b, n + 1)[:, None]
     cells = np.stack([np.arange(n), np.arange(1, n + 1)], axis=1)
-    return Mesh(x, cells, "interval")
+    info = StructuredInfo(
+        origin=np.array([a]), spacing=np.array([(b - a) / n]), shape=(n,), nshapes=1
+    )
+    return Mesh(x, cells, "interval", structured=info)
 
 
 def create_rectangle(
@@ -48,7 +51,13 @@ def create_rectangle(
     else:
         raise ValueError(f"unknown diagonal {diagonal!r}")
     cells = np.concatenate([t1, t2], axis=0)
-    return Mesh(pts, cells, "triangle")
+    info = StructuredInfo(
+        origin=np.array([p0[0], p0[1]], dtype=float),
+        spacing=np.array([(p1[0] - p0[0]) / nx, (p1[1] - p0[1]) / ny]),
+        shape=(nx, ny),
+        nshapes=2,
+    )
+    return Mesh(pts, cells, "triangle", structured=info)
 
 
 def create_unit_square(nx: int, ny: int | None = None) -> Mesh:
@@ -95,7 +104,15 @@ def create_box(
         d = (1, 1, 1)
         tets.append(np.stack([c[a], c[b], c[cc], c[d]], axis=1))
     cells = np.concatenate(tets, axis=0)
-    return Mesh(pts, cells, "tetrahedron")
+    info = StructuredInfo(
+        origin=np.array(p0, dtype=float),
+        spacing=np.array(
+            [(p1[0] - p0[0]) / nx, (p1[1] - p0[1]) / ny, (p1[2] - p0[2]) / nz]
+        ),
+        shape=(nx, ny, nz),
+        nshapes=6,
+    )
+    return Mesh(pts, cells, "tetrahedron", structured=info)
 
 
 def create_unit_cube(nx: int, ny: int | None = None, nz: int | None = None) -> Mesh:

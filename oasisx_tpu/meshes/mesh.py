@@ -42,12 +42,28 @@ class Topology:
 
 
 @dataclass
+class StructuredInfo:
+    """Present on meshes from the structured generators: records the
+    regular macro-grid so assembly gather/scatter can use strided slices
+    instead of unstructured gathers (assembly/structured.py — the TPU fast
+    path). Guarantee: ``cells`` is ordered shape-major (the ``nshapes``
+    simplices per quad/cube form contiguous blocks), each block C-order
+    over the (ix[, iy[, iz]]) cell lattice."""
+
+    origin: np.ndarray  # (gdim,)
+    spacing: np.ndarray  # (gdim,) macro-cell size per axis
+    shape: tuple  # cells per axis, e.g. (nx, ny) or (nx, ny, nz)
+    nshapes: int  # simplices per macro-cell (2 in 2D, 6 in 3D)
+
+
+@dataclass
 class Mesh:
     """Simplex mesh: vertex coordinates + cell-vertex connectivity."""
 
     x: np.ndarray  # (npoints, gdim) float64
     cells: np.ndarray  # (ncells, nverts) int32
     cell_type: str
+    structured: StructuredInfo | None = None
 
     def __post_init__(self):
         self.x = np.ascontiguousarray(self.x, dtype=np.float64)

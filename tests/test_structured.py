@@ -1,0 +1,96 @@
+"""Structured fast-path tests: strided-slice gather/scatter must reproduce
+the general unstructured path exactly (another instance of the 'same math
+two ways' strategy, SURVEY §4)."""
+
+import numpy as np
+import pytest
+
+from oasisx_tpu import DirichletBC, FractionalStep_AB_CN, LocatorMethod
+from oasisx_tpu.assembly import engine as eng
+from oasisx_tpu.assembly.structured import build_structured_map, structured_gather, structured_scatter
+from oasisx_tpu.meshes import create_box, create_rectangle, meshtags
+from oasisx_tpu.spaces import FunctionSpace
+
+
+@pytest.mark.parametrize(
+    "mesh_fn,deg",
+    [
+        (lambda: create_rectangle((-1, -1), (1, 1), (4, 3)), 1),
+        (lambda: create_rectangle((0, 0), (2, 1), (5, 4)), 2),
+        (lambda: create_box((0, 0, 0), (1, 1, 1), (3, 2, 2)), 1),
+        (lambda: create_box((-1, -1, -1), (1, 1, 1), (2, 3, 2)), 2),
+    ],
+)
+def test_structured_gather_scatter_match_cd(mesh_fn, deg):
+    mesh = mesh_fn()
+    assert mesh.structured is not None
+    V = FunctionSpace(mesh, ("Lagrange", deg))
+    r = build_structured_map(mesh, V.element, V.dofmap)
+    assert r is not None, "generator mesh must be lattice-compatible"
+    sm, gridflat = r
+    rng = np.random.RandomState(0)
+    x_canon = rng.randn(V.num_dofs)
+    x_grid = np.empty_like(x_canon)
+    x_grid[gridflat] = x_canon
+    import jax.numpy as jnp
+
+    ge = np.asarray(structured_gather(jnp.asarray(x_grid), sm))
+    assert np.allclose(ge, x_canon[V.dofmap.cell_dofs], atol=0)
+
+    vals = rng.randn(*V.dofmap.cell_dofs.shape)
+    sc = np.asarray(structured_scatter(jnp.asarray(vals), sm))
+    ref = np.zeros(V.num_dofs)
+    np.add.at(ref, V.dofmap.cell_dofs.reshape(-1), vals.reshape(-1))
+    assert np.abs(sc[gridflat] - ref).max() < 1e-12
+
+
+def test_gll_warped_p3_falls_back():
+    """Degree-3 warped nodes are off-lattice: the builder must decline."""
+    mesh = create_rectangle((0, 0), (1, 1), (3, 3))
+    V = FunctionSpace(mesh, ("Lagrange", 3))
+    assert build_structured_map(mesh, V.element, V.dofmap) is None
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_structured_solver_matches_general(dim):
+    """Full IPCS steps: structured fast path == general path."""
+
+    def build(structured):
+        if dim == 2:
+            mesh = create_rectangle((-1, -1), (1, 1), (6, 6))
+        else:
+            mesh = create_box((-1, -1, -1), (1, 1, 1), (3, 3, 3))
+        facets = mesh.exterior_facet_indices()
+        tags = meshtags(mesh, mesh.dim - 1, facets, np.full_like(facets, 3))
+        bcs_u = [
+            [DirichletBC(0.0, LocatorMethod.TOPOLOGICAL, (tags, 3))] for _ in range(dim)
+        ]
+        s = FractionalStep_AB_CN(
+            mesh,
+            ("Lagrange", 2),
+            ("Lagrange", 1),
+            bcs_u=bcs_u,
+            bcs_p=[],
+            solver_options={
+                "tentative": {"ksp_rtol": 1e-12},
+                "pressure": {"ksp_rtol": 1e-12},
+                "scalar": {"ksp_rtol": 1e-12},
+            },
+            options={"structured": structured},
+        )
+        for i in range(dim):
+            s._u1[i].interpolate(lambda x: np.sin(np.pi * x[0]) * np.cos(np.pi * x[1]) * 0.2)
+            s._u2[i].interpolate(lambda x: np.sin(np.pi * x[0]) * np.cos(np.pi * x[1]) * 0.2)
+        return s
+
+    s_fast = build(True)
+    s_ref = build(False)
+    assert s_fast._ctx.sv is not None, "structured path should be active"
+    assert s_ref._ctx.sv is None
+    for _ in range(2):
+        s_fast.solve(0.02, 0.05, max_iter=2)
+        s_ref.solve(0.02, 0.05, max_iter=2)
+    for i in range(dim):
+        a, b = s_fast._u[i].x.array, s_ref._u[i].x.array
+        assert np.abs(a - b).max() < 1e-8 * max(1.0, np.abs(b).max())
+    assert np.abs(s_fast._p.x.array - s_ref._p.x.array).max() < 1e-7
