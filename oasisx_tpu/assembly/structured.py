@@ -1,22 +1,25 @@
-"""Structured-grid fast path: strided-slice gather/scatter.
+"""Structured-grid fast path: parity-split contiguous-slice gather/scatter.
 
 Why: XLA:TPU executes unstructured gathers/scatter-adds at ~7 ns/element
-(measured; SURVEY §7 hard-part #1 — "scatter-add assembly throughput on
-TPU is the anti-pattern XLA punishes"). On meshes from the structured
-generators, every Lagrange dof of an equispaced-node space lies on a
-regular fine lattice (cells per axis x degree + 1), and each (cell-shape,
-local-dof) pair maps to ONE static strided slice of that lattice. Gather
-and scatter-add therefore become a few dozen strided slices / slice-adds
-— pure VPU/memory ops, no index lists at all.
+(measured; SURVEY §7 hard-part #1), and strided slice *updates* are just as
+bad (~0.4 ms per slice-add at 71^3 — minor-dim strides break lane
+addressing). On meshes from the structured generators every
+equispaced-Lagrange dof lies on a regular fine lattice (degree*cells + 1
+per axis), and in a *parity-decomposed* layout every (cell-shape,
+local-dof) pair maps to one CONTIGUOUS slice — measured cost: free.
 
-The element kernels are unchanged (same batched einsums over per-cell
-stacks); only the P (global->local) and P^T operators swap implementation.
-Cell ordering contract: shape-major blocks, each C-order over the cell
-lattice (meshes/generation.py + meshes.mesh.StructuredInfo).
+Layout: a dof with fine-lattice index f_k (k-th axis) is stored at
+    X[p_0, ..., p_{d-1}, b_0, ..., b_{d-1}],  p_k = f_k % s, b_k = f_k // s
+where s is the element degree (the fine-lattice stride of one cell) and
+each base axis is padded to n_k + 1 (positions with p_k > 0, b_k = n_k are
+padding and provably never touched by any slice). Local dof j of shape
+``sh`` at cell (c_0..c_{d-1}) has fine index s*c + o[sh][j], i.e. parity
+o % s and base c + o // s: a contiguous length-n_k slice per axis.
 
-Falls back silently (returns None) when dof coordinates don't land on the
-lattice (e.g. GLL-warped nodes for degree >= 3) — the general engine path
-remains the correctness backend for arbitrary meshes.
+Element kernels are unchanged; only P (global->local) and P^T swap
+implementation. Cell ordering contract: shape-major blocks, each C-order
+over the cell lattice (meshes/generation.py). Falls back (returns None)
+when dof coordinates are off-lattice (e.g. GLL-warped nodes, degree >= 3).
 """
 
 from __future__ import annotations
@@ -30,20 +33,20 @@ from ..elements.element import FiniteElement
 from ..meshes.mesh import Mesh
 from ..spaces.dofmap import DofMap
 
-# A structured map is a nested tuple (hashable -> usable as a static jit
-# field): (grid_shape, cells_shape, stride, nshapes, offsets) where
-# offsets[s][j] is the fine-lattice offset (per axis) of local dof j of
-# cell-shape s within its macro-cell.
+# StructuredMap (hashable, static jit field):
+#   (pshape, cells_shape, stride, nshapes, poffsets)
+# pshape = (s,)*d + (n_0+1, ..., n_{d-1}+1); poffsets[sh][j] = (parity, base)
 StructuredMap = tuple
 
 
 def build_structured_map(
     mesh: Mesh, element: FiniteElement, dofmap: DofMap
-) -> tuple[StructuredMap, np.ndarray] | None:
-    """Returns ((grid, cells, stride, S, offsets), gridflat) or None.
+) -> tuple[StructuredMap, np.ndarray, np.ndarray] | None:
+    """Returns ((pshape, cells, stride, S, poffsets), gridflat, valid) or None.
 
-    ``gridflat[dof]`` is the C-order flat lattice index of each dof — the
-    permutation between the canonical dofmap numbering and grid ordering.
+    ``gridflat[dof]`` is the flat index of each dof in the parity-split
+    padded layout (length prod(pshape)); ``valid`` is the boolean mask of
+    real (non-padding) positions in that layout.
     """
     info = mesh.structured
     if info is None or not element.continuous:
@@ -51,76 +54,98 @@ def build_structured_map(
     deg = element.degree
     d = mesh.dim
     cells_shape = tuple(int(n) for n in info.shape)
-    grid = tuple(deg * n + 1 for n in cells_shape)
-    if int(np.prod(grid)) != dofmap.num_dofs:
+    fine = tuple(deg * n for n in cells_shape)
+    if int(np.prod([f + 1 for f in fine])) != dofmap.num_dofs:
         return None
     h_fine = np.asarray(info.spacing) / deg
     t = (dofmap.dof_coords - np.asarray(info.origin)) / h_fine
     ti = np.rint(t).astype(np.int64)
     if np.abs(t - ti).max() > 1e-6:
         return None  # nodes off-lattice (e.g. warped high-order variant)
-    if ti.min() < 0 or (ti >= np.array(grid)).any():
+    if ti.min() < 0 or (ti > np.array(fine)).any():
         return None
-    gridflat = np.ravel_multi_index(tuple(ti.T), grid)
+
+    pshape = (deg,) * d + tuple(n + 1 for n in cells_shape)
+    par = tuple((ti[:, k] % deg) for k in range(d))
+    base = tuple((ti[:, k] // deg) for k in range(d))
+    gridflat = np.ravel_multi_index(par + base, pshape)
     if np.unique(gridflat).size != dofmap.num_dofs:
         return None
+
+    # validity mask of the padded layout
+    idx = np.stack(np.unravel_index(np.arange(int(np.prod(pshape))), pshape), axis=1)
+    valid = np.ones(int(np.prod(pshape)), dtype=bool)
+    for k in range(d):
+        p_k = idx[:, k]
+        b_k = idx[:, d + k]
+        valid &= (p_k == 0) | (b_k <= cells_shape[k] - 1)
 
     S = info.nshapes
     ncube = int(np.prod(cells_shape))
     cd = dofmap.cell_dofs
     if cd.shape[0] != S * ncube:
         return None
-    # per-shape offsets from the first cell of each shape block
-    offsets = []
+    # per-shape fine offsets from the first cell of each shape block
+    poffsets = []
+    offsets_fine = []
     for s in range(S):
-        o = ti[cd[s * ncube]]
-        offsets.append(tuple(tuple(int(v) for v in row) for row in o))
+        o = ti[cd[s * ncube]]  # (nd, d)
+        offsets_fine.append(o)
+        poffsets.append(
+            tuple(
+                (tuple(int(v % deg) for v in row), tuple(int(v // deg) for v in row))
+                for row in o
+            )
+        )
     # validate the full ordering contract (vectorized)
-    cell_idx = np.stack(
-        np.unravel_index(np.arange(ncube), cells_shape), axis=1
-    )  # (ncube, d) C-order
+    cell_idx = np.stack(np.unravel_index(np.arange(ncube), cells_shape), axis=1)
     for s in range(S):
-        base = deg * cell_idx  # (ncube, d)
-        off = np.asarray(offsets[s])  # (nd, d)
-        lat = base[:, None, :] + off[None, :, :]
-        expect = np.ravel_multi_index(tuple(np.moveaxis(lat, 2, 0)), grid)
+        off = np.asarray(offsets_fine[s])  # (nd, d)
+        lat = deg * cell_idx[:, None, :] + off[None, :, :]
+        p = tuple(lat[:, :, k] % deg for k in range(d))
+        b = tuple(lat[:, :, k] // deg for k in range(d))
+        expect = np.ravel_multi_index(p + b, pshape)
         got = gridflat[cd[s * ncube : (s + 1) * ncube]]
         if not np.array_equal(expect, got):
             return None
-    sm: StructuredMap = (grid, cells_shape, deg, S, tuple(offsets))
-    return sm, gridflat
+    sm: StructuredMap = (pshape, cells_shape, deg, S, tuple(poffsets))
+    return sm, gridflat, valid
 
 
-def _slices(sm: StructuredMap, s: int, j: int):
-    grid, cells, stride, S, offsets = sm
-    st = offsets[s][j]
-    return tuple(
-        slice(st[k], st[k] + stride * (cells[k] - 1) + 1, stride) for k in range(len(cells))
+def num_padded(sm: StructuredMap) -> int:
+    return int(np.prod(sm[0]))
+
+
+def _index(sm: StructuredMap, s: int, j: int):
+    pshape, cells, stride, S, poffsets = sm
+    par, base = poffsets[s][j]
+    return tuple(par) + tuple(
+        slice(base[k], base[k] + cells[k]) for k in range(len(cells))
     )
 
 
 def structured_gather(x: jax.Array, sm: StructuredMap) -> jax.Array:
-    """x (ndofs,) in grid order -> per-cell local values (nc, nd)."""
-    grid, cells, stride, S, offsets = sm
-    X = x.reshape(grid)
-    nd = len(offsets[0])
+    """x (npad,) in parity layout -> per-cell local values (nc, nd)."""
+    pshape, cells, stride, S, poffsets = sm
+    X = x.reshape(pshape)
+    nd = len(poffsets[0])
     parts = []
     for s in range(S):
-        cols = [X[_slices(sm, s, j)].reshape(-1) for j in range(nd)]
+        cols = [X[_index(sm, s, j)].reshape(-1) for j in range(nd)]
         parts.append(jnp.stack(cols, axis=1))
     return jnp.concatenate(parts, axis=0)
 
 
 def structured_scatter(vals: jax.Array, sm: StructuredMap, axis=None) -> jax.Array:
-    """Per-cell local values (nc, nd) -> assembled dof vector (grid order)."""
-    grid, cells, stride, S, offsets = sm
+    """Per-cell local values (nc, nd) -> assembled padded dof vector."""
+    pshape, cells, stride, S, poffsets = sm
     nd = vals.shape[-1]
-    ncube = int(np.prod(cells))
+    d = len(cells)
     v = vals.reshape((S,) + cells + (nd,))
-    Y = jnp.zeros(grid, vals.dtype)
+    Y = jnp.zeros(pshape, vals.dtype)
     for s in range(S):
         for i in range(nd):
-            Y = Y.at[_slices(sm, s, i)].add(v[(s,) + (slice(None),) * len(cells) + (i,)])
+            Y = Y.at[_index(sm, s, i)].add(v[(s,) + (slice(None),) * d + (i,)])
     out = Y.reshape(-1)
     if axis is not None:
         out = jax.lax.psum(out, axis)

@@ -145,6 +145,7 @@ class FractionalStep_AB_CN:
         # internally, converted at the host boundary via _pv/_uv/_pq/_uq.
         self._gridflat_v = None
         self._gridflat_q = None
+        self._q_nullvec = None
         opts_early = options or {}
         if (
             mesh.structured is not None
@@ -159,10 +160,21 @@ class FractionalStep_AB_CN:
             rv = build_structured_map(mesh, el_u, Vi0.dofmap)
             rq = build_structured_map(mesh, el_p, self._Q.dofmap)
             if rv is not None and rq is not None:
-                (sv, gf_v), (sq, gf_q) = rv, rq
-                self._ctx = _dc_replace(self._ctx, sv=sv, sq=sq)
+                from .assembly.structured import num_padded
+
+                (sv, gf_v, valid_v), (sq, gf_q, valid_q) = rv, rq
+                self._ctx = _dc_replace(
+                    self._ctx,
+                    sv=sv,
+                    sq=sq,
+                    ndofs_v=num_padded(sv),
+                    ndofs_q=num_padded(sq),
+                )
                 self._gridflat_v = gf_v
                 self._gridflat_q = gf_q
+                self._npad_v = num_padded(sv)
+                self._npad_q = num_padded(sq)
+                self._q_nullvec = jnp.asarray(valid_q, dtype=self._dtype)
         if device_mesh is not None:
             from .parallel.sharding import shard_problem
 
@@ -197,10 +209,10 @@ class FractionalStep_AB_CN:
 
     # --- canonical <-> grid dof-order conversion (structured path) --------
     def _pv(self, arr: np.ndarray) -> np.ndarray:
-        """Canonical V dof order -> internal (grid) order, last axis."""
+        """Canonical V dof order -> internal (padded parity-grid) order."""
         if self._gridflat_v is None:
             return arr
-        out = np.empty_like(arr)
+        out = np.zeros(arr.shape[:-1] + (self._npad_v,), dtype=arr.dtype)
         out[..., self._gridflat_v] = arr
         return out
 
@@ -212,7 +224,7 @@ class FractionalStep_AB_CN:
     def _pq(self, arr: np.ndarray) -> np.ndarray:
         if self._gridflat_q is None:
             return arr
-        out = np.empty_like(arr)
+        out = np.zeros(arr.shape[:-1] + (self._npad_q,), dtype=arr.dtype)
         out[..., self._gridflat_q] = arr
         return out
 
@@ -479,15 +491,21 @@ class FractionalStep_AB_CN:
             dp = res.x
         else:
             matvec = lambda x: eng.matvec_q(ctx, P["Ap"], x)
+            nv = self._q_nullvec
+            if nv is None:
+                x0p = dp0 - jnp.mean(dp0)
+            else:
+                x0p = dp0 - (jnp.vdot(nv, dp0) / jnp.vdot(nv, nv)) * nv
             res = cg(
                 matvec,
                 b2,
-                x0=dp0 - jnp.mean(dp0),
+                x0=x0p,
                 M=M,
                 rtol=s.rtol,
                 atol=s.atol,
                 maxiter=s.maxiter,
                 project_nullspace=True,
+                nullvec=nv,
             )
             # L2 (volume-weighted) zero mean, reference fracstep.py:579-591
             dp = res.x

@@ -43,17 +43,28 @@ def cg(
     atol: float = 1e-50,
     maxiter: int = 1000,
     project_nullspace: bool = False,
+    nullvec: jax.Array | None = None,
 ) -> KrylovResult:
     """Preconditioned conjugate gradients for SPD operators.
 
     If ``project_nullspace`` the constant vector is removed from b, every
     iterate update, and the final solution (singular Neumann Poisson).
+    ``nullvec`` overrides the nullspace basis vector (default: the constant
+    vector) — used e.g. when the dof layout carries padding entries that
+    must stay outside the projection (assembly/structured.py).
     """
     M = M or _identity
     x0 = jnp.zeros_like(b) if x0 is None else x0
 
+    if nullvec is not None:
+        _ee = jnp.vdot(nullvec, nullvec)
+
     def demean(v):
-        return v - jnp.mean(v) if project_nullspace else v
+        if not project_nullspace:
+            return v
+        if nullvec is not None:
+            return v - (jnp.vdot(nullvec, v) / _ee) * nullvec
+        return v - jnp.mean(v)
 
     b = demean(b)
     bnorm = jnp.linalg.norm(b)

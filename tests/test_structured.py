@@ -27,10 +27,14 @@ def test_structured_gather_scatter_match_cd(mesh_fn, deg):
     V = FunctionSpace(mesh, ("Lagrange", deg))
     r = build_structured_map(mesh, V.element, V.dofmap)
     assert r is not None, "generator mesh must be lattice-compatible"
-    sm, gridflat = r
+    sm, gridflat, valid = r
+    from oasisx_tpu.assembly.structured import num_padded
+
+    npad = num_padded(sm)
+    assert valid.sum() == V.num_dofs
     rng = np.random.RandomState(0)
     x_canon = rng.randn(V.num_dofs)
-    x_grid = np.empty_like(x_canon)
+    x_grid = np.zeros(npad)
     x_grid[gridflat] = x_canon
     import jax.numpy as jnp
 
@@ -42,6 +46,11 @@ def test_structured_gather_scatter_match_cd(mesh_fn, deg):
     ref = np.zeros(V.num_dofs)
     np.add.at(ref, V.dofmap.cell_dofs.reshape(-1), vals.reshape(-1))
     assert np.abs(sc[gridflat] - ref).max() < 1e-12
+    # padding entries untouched
+    pad_mask = np.ones(npad, dtype=bool)
+    pad_mask[gridflat] = False
+    if pad_mask.any():
+        assert np.abs(sc[pad_mask]).max() == 0.0
 
 
 def test_gll_warped_p3_falls_back():
