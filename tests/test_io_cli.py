@@ -108,3 +108,20 @@ def test_assembly_strategies_demo_smoke(capsys):
     ast.main(["--dim", "2", "--max-degree", "2", "-n", "4", "--repeats", "1"])
     out = capsys.readouterr().out
     assert "action" in out
+
+
+def test_assembly_bcs_demo_smoke(capsys):
+    import assembly_bcs as abc_demo
+
+    abc_demo.main(["--dim", "2", "-n", "3", "--max-degree", "2", "--repeats", "1"])
+    out = capsys.readouterr().out
+    assert "matvec" in out
+
+
+def test_channel_demo_poiseuille():
+    """Channel flow converges toward the exact parabolic profile
+    (BASELINE config #2: BC lifting + outlet)."""
+    import channel
+
+    err_x, err_y = channel.main(["-N", "6", "-T", "0.5", "-dt", "0.025"])
+    assert err_x < 0.02 and err_y < 0.02
