@@ -739,14 +739,22 @@ class FractionalStep_AB_CN:
         me = jnp.asarray(max_error, dtype=self._dtype)
         P = self._params()
 
-        @partial(jax.jit, static_argnames=("n", "max_iter"))
-        def multi(P, state, n, max_iter):
-            def body(state, _):
-                return self._raw_step(P, state, dt_, nu_, bc_vals, h_qvals, me, max_iter)
+        if getattr(self, "_multi_fn", None) is None:
 
-            return jax.lax.scan(body, state, None, length=n)
+            @partial(jax.jit, static_argnames=("n", "max_iter"))
+            def multi(P, state, dt, nu, bc_vals, h_qvals, max_error, n, max_iter):
+                def body(state, _):
+                    return self._raw_step(
+                        P, state, dt, nu, bc_vals, h_qvals, max_error, max_iter
+                    )
 
-        state, stats = multi(P, state, num_steps, max_iter)
+                return jax.lax.scan(body, state, None, length=n)
+
+            self._multi_fn = multi
+
+        state, stats = self._multi_fn(
+            P, state, dt_, nu_, bc_vals, h_qvals, me, num_steps, max_iter
+        )
         self._state_to_functions(state)
         self.last_stats = {k: np.asarray(v) for k, v in stats.items()}
         return self.last_stats
