@@ -140,3 +140,35 @@ def facet_eval_q(ctx: DeviceContext, fctx: FacetContext, p: jax.Array) -> jax.Ar
 
 def facet_area(fctx: FacetContext) -> jax.Array:
     return jnp.sum(fctx.scale) * jnp.sum(fctx.qw)
+
+
+def surface_traction(
+    ctx: DeviceContext,
+    fctx: FacetContext,
+    u: jax.Array,
+    p: jax.Array,
+    nu,
+) -> jax.Array:
+    """Traction integral F_i = int_S [nu (du_i/dx_j + du_j/dx_i) n_j
+    - p n_i] ds over a tagged facet set, with n the domain-outward normal:
+    the force the surroundings exert ON the fluid. The force on an immersed
+    body is the negative (drag/lift for the DFG cylinder benchmark,
+    BASELINE config #3).
+
+    ``u``: (d, ndofs_v) velocity components; ``p``: (ndofs_q,). Density 1.
+    """
+    Kc = ctx.Kinv[fctx.cells]  # (nf, b, g)
+    dphi = fctx.dphi_v[fctx.local]  # (nf, nqf, b, j)
+    ue = u[:, ctx.cd_v[fctx.cells]]  # (i, nf, j)
+    # grad u at facet qp: (i, nf, nqf, g)
+    gu = jnp.einsum("fbg,fqbj,ifj->ifqg", Kc, dphi, ue)
+    pe = p[ctx.cd_q[fctx.cells]]  # (nf, m)
+    pq = jnp.einsum("fqm,fm->fq", fctx.phi_q[fctx.local], pe)  # (nf, nqf)
+    n = fctx.normal  # (nf, g)
+    # sigma_ij n_j = nu (du_i/dx_j + du_j/dx_i) n_j - p n_i
+    visc = nu * (
+        jnp.einsum("ifqg,fg->ifq", gu, n) + jnp.einsum("gfqi,fg->ifq", gu, n)
+    )
+    press = pq[None, :, :] * n.T[:, :, None]  # (i, nf, nqf)
+    integrand = visc - press
+    return jnp.einsum("ifq,q,f->i", integrand, fctx.qw, fctx.scale)

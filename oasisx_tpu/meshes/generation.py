@@ -119,3 +119,50 @@ def create_unit_cube(nx: int, ny: int | None = None, nz: int | None = None) -> M
     ny = nx if ny is None else ny
     nz = nx if nz is None else nz
     return create_box((0.0, 0.0, 0.0), (1.0, 1.0, 1.0), (nx, ny, nz))
+
+
+def create_cylinder_channel(
+    res: int = 40,
+    length: float = 2.2,
+    height: float = 0.41,
+    center: tuple[float, float] = (0.2, 0.2),
+    radius: float = 0.05,
+) -> Mesh:
+    """Channel with a circular obstacle (DFG 2D cylinder benchmark geometry).
+
+    Construction: uniform triangulated rectangle, remove cells whose
+    centroid falls inside the circle, then project the ring of vertices
+    inside/near the circle onto it. Produces an unstructured mesh (no
+    ``structured`` fast path) exercising the general assembly engine.
+    """
+    ny = res
+    nx = int(round(res * length / height))
+    base = create_rectangle((0.0, 0.0), (length, height), (nx, ny))
+    c = np.asarray(center)
+    pts = base.x.copy()
+    d_v = np.linalg.norm(pts - c, axis=1)
+
+    centroid = pts[base.cells].mean(axis=1)
+    d_c = np.linalg.norm(centroid - c, axis=1)
+    keep = d_c > radius
+    cells = base.cells[keep]
+
+    # project interior/near-circle vertices used by remaining cells onto it
+    used = np.unique(cells)
+    h = height / ny
+    snap = np.zeros(len(pts), dtype=bool)
+    snap[used] = d_v[used] < radius + 0.35 * h
+    r_safe = np.where(d_v > 1e-12, d_v, 1.0)
+    proj = c + (pts - c) * (radius / r_safe)[:, None]
+    pts[snap] = proj[snap]
+
+    # compact vertex numbering
+    remap = -np.ones(len(pts), dtype=np.int64)
+    remap[used] = np.arange(len(used))
+    mesh = Mesh(pts[used], remap[cells], "triangle")
+    vols = mesh.cell_volumes()
+    if vols.min() <= 1e-12 * vols.max():
+        raise ValueError(
+            "degenerate cells after cylinder projection; increase resolution"
+        )
+    return mesh
