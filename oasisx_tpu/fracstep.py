@@ -202,6 +202,7 @@ class FractionalStep_AB_CN:
         self._body_force = body_force
         self._compile_and_allocate_forms()
         self._preassemble()
+        self._build_mg(solver_options)
         self._build_step()
 
         self._A_elems = None  # set by assemble_first (split-phase API)
@@ -257,6 +258,31 @@ class FractionalStep_AB_CN:
             pmask[bcp.dofs] = True
         self._pbc_mask = jnp.asarray(self._pq(pmask))
         self._have_pbc = len(self._bcs_p) > 0
+
+    def _build_mg(self, solver_options: dict) -> None:
+        """Geometric multigrid preconditioner for the pressure Poisson
+        (la/multigrid.py): used when the structured fast path is active,
+        the pressure space is P1, there is no outlet BC, and the pressure
+        pc_type is not explicitly jacobi/none."""
+        self._mg = None
+        popts = (solver_options or {}).get("pressure") or {}
+        pc = str(popts.get("pc_type", "mg")).lower()
+        if (
+            self._ctx.sq is not None
+            and self._Q.element.degree == 1
+            and not self._have_pbc
+            and pc not in ("jacobi", "none")
+            and min(self._mesh.structured.shape) >= 4
+        ):
+            try:
+                from .la.multigrid import StructuredPoissonMG
+
+                mg = StructuredPoissonMG(self._mesh, dtype=self._dtype)
+                if mg.num_levels >= 2:
+                    self._mg = mg
+                    logger.info("pressure MG enabled: %d levels", mg.num_levels)
+            except Exception as e:  # pragma: no cover - fallback path
+                logger.warning("pressure MG construction failed: %s", e)
 
     def _on_mesh(self, fn, out_spec, *args, arg_specs=()):
         """Run an engine function over the device mesh (shard_map, so psum
@@ -484,7 +510,10 @@ class FractionalStep_AB_CN:
     def _pressure_solve_dev(self, P: dict, b2, p, dp0, u, nu):
         ctx = P["ctx"]
         s = self._solver_p
-        M = jacobi_preconditioner(P["Ap_diag"])
+        if self._mg is not None and not self._have_pbc:
+            M = self._mg.vcycle
+        else:
+            M = jacobi_preconditioner(P["Ap_diag"])
         if self._have_pbc:
             matvec = lambda x: eng.bc_symmetric_matvec(ctx, P["Ap"], P["pbc_mask"], x, eng.matvec_q)
             res = cg(matvec, b2, x0=dp0, M=M, rtol=s.rtol, atol=s.atol, maxiter=s.maxiter)

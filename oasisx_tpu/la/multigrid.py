@@ -1,0 +1,193 @@
+"""Geometric multigrid V-cycle preconditioner for the pressure Poisson.
+
+The perf-critical solve (SURVEY §7 step 5: "then geometric multigrid for
+the pressure Poisson"). On structured generator meshes the P1 pressure
+grids form a nested hierarchy (the Kuhn/red-diagonal simplex splits are
+self-similar under uniform refinement), so linear interpolation is exact
+nesting, restriction is its transpose, and the rediscretized coarse
+operator equals the Galerkin one. Transfers are axis-separable
+interleave/stencil ops — no strided *writes* (TPU-hostile); only cheap
+strided reads and bulk reshapes.
+
+Smoother: damped Jacobi (omega=0.8), symmetric pre/post sweeps, so the
+V-cycle is SPD and valid as a CG preconditioner. Coarse solve: dense
+pseudo-inverse (handles the singular pure-Neumann operator).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import real_dtype
+
+
+def _interleave_axis(X: jax.Array, ax: int) -> jax.Array:
+    """(..., m, ...) -> (..., 2m-1, ...): linear interpolation along ax."""
+    X0 = jnp.moveaxis(X, ax, 0)
+    m = X0.shape[0]
+    mid = 0.5 * (X0[:-1] + X0[1:])
+    body = jnp.stack([X0[:-1], mid], axis=1).reshape((2 * (m - 1),) + X0.shape[1:])
+    out = jnp.concatenate([body, X0[-1:]], axis=0)
+    return jnp.moveaxis(out, 0, ax)
+
+
+def _restrict_axis(X: jax.Array, ax: int) -> jax.Array:
+    """Transpose of _interleave_axis: out[i] = X[2i] + 0.5 X[2i-1] + 0.5 X[2i+1]."""
+    X0 = jnp.moveaxis(X, ax, 0)
+    even = X0[::2]
+    odd = X0[1::2]
+    z = jnp.zeros((1,) + X0.shape[1:], X0.dtype)
+    left = jnp.concatenate([odd, z], axis=0)
+    right = jnp.concatenate([z, odd], axis=0)
+    out = even + 0.5 * (left + right)
+    return jnp.moveaxis(out, 0, ax)
+
+
+def prolong(xc: jax.Array, shape_c: tuple) -> jax.Array:
+    X = xc.reshape(shape_c)
+    for ax in range(len(shape_c)):
+        X = _interleave_axis(X, ax)
+    return X.reshape(-1)
+
+
+def restrict(rf: jax.Array, shape_f: tuple) -> jax.Array:
+    X = rf.reshape(shape_f)
+    for ax in range(len(shape_f)):
+        X = _restrict_axis(X, ax)
+    return X.reshape(-1)
+
+
+class StructuredPoissonMG:
+    """V-cycle preconditioner for the P1 Poisson operator on a structured
+    generator mesh. Built host-side once; ``vcycle`` is jit-friendly."""
+
+    def __init__(
+        self,
+        mesh,
+        nsmooth: int = 2,
+        omega: float = 0.8,
+        coarsest: int = 4,
+        dtype=None,
+    ):
+        from ..assembly import engine as eng
+        from ..elements.element import FiniteElement
+        from ..meshes.generation import create_box, create_interval, create_rectangle
+        from ..spaces.functionspace import FunctionSpace
+
+        info = mesh.structured
+        if info is None:
+            raise ValueError("StructuredPoissonMG requires a structured mesh")
+        dtype = real_dtype(dtype)
+        self.omega = omega
+        self.nsmooth = nsmooth
+        d = mesh.dim
+        shape = tuple(info.shape)
+        origin = np.asarray(info.origin)
+        extent = origin + np.asarray(info.spacing) * np.asarray(shape)
+
+        # level resolutions: halve while even and above the coarsest size
+        res = [shape]
+        while all(n % 2 == 0 and n // 2 >= max(2, coarsest // 2) for n in res[-1]):
+            res.append(tuple(n // 2 for n in res[-1]))
+
+        self.levels = []
+        for li, n in enumerate(res):
+            if d == 1:
+                m = create_interval(n[0], origin[0], extent[0])
+            elif d == 2:
+                m = create_rectangle(tuple(origin), tuple(extent), n)
+            else:
+                m = create_box(tuple(origin), tuple(extent), n)
+            el = FiniteElement("Lagrange", mesh.cell_type, 1)
+            Q = FunctionSpace(m, el)
+            ctx, _ = eng.build_device_context(
+                m, el, Q.dofmap.cell_dofs, Q.num_dofs, el, Q.dofmap.cell_dofs, Q.num_dofs,
+                dtype=dtype,
+            )
+            from ..assembly.structured import build_structured_map
+
+            r = build_structured_map(m, el, Q.dofmap)
+            if r is None:
+                raise ValueError("level mesh is not lattice-compatible")
+            sm, gridflat, _valid = r
+            from dataclasses import replace as dc_replace
+
+            ctx = dc_replace(ctx, sv=sm, sq=sm)
+            elems = eng.stiffness_q_elems(ctx)
+            # grid-ordered diagonal
+            diag_canon = np.zeros(Q.num_dofs)
+            e_np = np.asarray(elems)
+            np.add.at(
+                diag_canon,
+                Q.dofmap.cell_dofs.reshape(-1),
+                np.einsum("cii->ci", e_np).reshape(-1),
+            )
+            diag = np.zeros(int(np.prod(sm[0])))
+            diag[gridflat] = diag_canon
+            grid_shape = tuple(n_k + 1 for n_k in n)
+            level = dict(
+                ctx=ctx,
+                elems=jnp.asarray(e_np, dtype=dtype),
+                inv_diag=jnp.asarray(
+                    np.where(diag != 0, 1.0 / np.where(diag != 0, diag, 1.0), 0.0),
+                    dtype=dtype,
+                ),
+                grid_shape=grid_shape,
+                gridflat=gridflat,
+            )
+            self.levels.append(level)
+
+        # coarse pseudo-inverse (grid ordering), handles the singular operator
+        L = self.levels[-1]
+        Qc = int(np.prod(L["grid_shape"]))
+        lastQ = res[-1]
+        # dense assembly in grid order
+        sm = L["ctx"].sv
+        gf = L["gridflat"]
+        # rebuild canonical dense then permute
+        nlast = len(gf)
+        A = np.zeros((nlast, nlast))
+        # reuse the level mesh cell dofs via ctx.cd_q (canonical ids)
+        cd = np.asarray(L["ctx"].cd_q)
+        e_np = np.asarray(L["elems"])
+        for c in range(cd.shape[0]):
+            A[np.ix_(cd[c], cd[c])] += e_np[c]
+        Agrid = np.zeros((Qc, Qc))
+        Agrid[np.ix_(gf, gf)] = A
+        self._coarse_pinv = jnp.asarray(np.linalg.pinv(Agrid), dtype=dtype)
+
+    # --- jit-friendly application ------------------------------------------
+    def _matvec(self, li: int, x: jax.Array) -> jax.Array:
+        from ..assembly import engine as eng
+
+        L = self.levels[li]
+        return eng.matvec_q(L["ctx"], L["elems"], x)
+
+    def _smooth(self, li: int, z: jax.Array, r: jax.Array) -> jax.Array:
+        L = self.levels[li]
+        for _ in range(self.nsmooth):
+            z = z + self.omega * L["inv_diag"] * (r - self._matvec(li, z))
+        return z
+
+    def _cycle(self, li: int, r: jax.Array) -> jax.Array:
+        if li == len(self.levels) - 1:
+            return self._coarse_pinv @ r
+        z = jnp.zeros_like(r)
+        z = self._smooth(li, z, r)
+        res = r - self._matvec(li, z)
+        rc = restrict(res, self.levels[li]["grid_shape"])
+        zc = self._cycle(li + 1, rc)
+        z = z + prolong(zc, self.levels[li + 1]["grid_shape"])
+        z = self._smooth(li, z, r)
+        return z
+
+    def vcycle(self, r: jax.Array) -> jax.Array:
+        """One symmetric V-cycle: usable as a CG preconditioner M^{-1} r."""
+        return self._cycle(0, r)
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.levels)
