@@ -133,6 +133,21 @@ class Mesh:
 def _build_topology(mesh: Mesh) -> Topology:
     cells = mesh.cells
     lf = CELL_FACETS[mesh.cell_type]  # (nlf, dim)
+
+    # native C++ kernel (oasisx_tpu.native), NumPy fallback below
+    from .. import native
+
+    nat = native.build_facet_topology(cells, lf)
+    if nat is not None:
+        facets, fcells, flocal, _inv = nat
+        exterior = np.where(fcells[:, 1] == -1)[0].astype(np.int32)
+        return Topology(
+            facets=facets,
+            facet_cells=fcells,
+            facet_local=flocal,
+            exterior_facets=exterior,
+        )
+
     nlf = lf.shape[0]
     ncells = cells.shape[0]
     all_facets = cells[:, lf]  # (ncells, nlf, dim)

@@ -29,6 +29,12 @@ def _unique_entities(cells: np.ndarray, local: np.ndarray):
     """
     ent = np.sort(cells[:, local], axis=2)
     flat = ent.reshape(-1, ent.shape[2])
+    from .. import native
+
+    nat = native.unique_rows(flat)
+    if nat is not None:
+        uniq, inverse = nat
+        return uniq.astype(cells.dtype), inverse.reshape(cells.shape[0], -1).astype(np.int64)
     uniq, inverse = np.unique(flat, axis=0, return_inverse=True)
     return uniq, inverse.reshape(cells.shape[0], -1).astype(np.int64)
 
