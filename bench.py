@@ -15,6 +15,7 @@ a *proxy* for the reference CPU baseline and is labeled as such.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -76,7 +77,7 @@ def main():
     dt, nu = 2e-3, 1.0 / 1600.0
 
     # --- TPU (or default-device) run at ~1M velocity DOFs ------------------
-    N = 35  # scalar P2 dofs = (2N+1)^3 = 357911 -> 1.074M velocity dofs
+    N = int(os.environ.get("BENCH_N", 36))  # even -> MG hierarchy; P2 dofs (2N+1)^3 = 389k -> 1.167M velocity dofs
     solver = build_solver(N, dtype=np.float32)
     nvel = 3 * solver._Vi[0][0].num_dofs
     sec_per_step, stats = measure(solver, dt, nu)
@@ -91,7 +92,7 @@ def main():
             import jax.numpy as jnp
 
             with jax.default_device(cpu[0]):
-                s_cpu = build_solver(12, dtype=np.float32)
+                s_cpu = build_solver(12, dtype=np.float32)  # 12 even -> MG too
                 nvel_cpu = 3 * s_cpu._Vi[0][0].num_dofs
                 sec_cpu, _ = measure(s_cpu, dt, nu, steps=3)
                 cpu_rate = nvel_cpu / sec_cpu / 1e6

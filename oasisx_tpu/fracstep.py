@@ -278,9 +278,10 @@ class FractionalStep_AB_CN:
                 from .la.multigrid import StructuredPoissonMG
 
                 mg = StructuredPoissonMG(self._mesh, dtype=self._dtype)
-                if mg.num_levels >= 2:
-                    self._mg = mg
-                    logger.info("pressure MG enabled: %d levels", mg.num_levels)
+                self._mg = mg
+                logger.info("pressure MG enabled: %d levels", mg.num_levels)
+            except ValueError as e:
+                logger.info("pressure MG disabled: %s", e)
             except Exception as e:  # pragma: no cover - fallback path
                 logger.warning("pressure MG construction failed: %s", e)
 

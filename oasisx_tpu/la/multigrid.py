@@ -92,6 +92,11 @@ class StructuredPoissonMG:
         res = [shape]
         while all(n % 2 == 0 and n // 2 >= max(2, coarsest // 2) for n in res[-1]):
             res.append(tuple(n // 2 for n in res[-1]))
+        if len(res) < 2:
+            raise ValueError("mesh resolution does not coarsen (need even cell counts)")
+        ncoarse = int(np.prod([n + 1 for n in res[-1]]))
+        if ncoarse > 20000:
+            raise ValueError(f"coarsest level too large for a dense solve ({ncoarse} dofs)")
 
         self.levels = []
         for li, n in enumerate(res):
