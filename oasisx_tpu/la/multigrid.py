@@ -24,40 +24,68 @@ import jax.numpy as jnp
 from ..config import real_dtype
 
 
-def _interleave_axis(X: jax.Array, ax: int) -> jax.Array:
-    """(..., m, ...) -> (..., 2m-1, ...): linear interpolation along ax."""
-    X0 = jnp.moveaxis(X, ax, 0)
-    m = X0.shape[0]
-    mid = 0.5 * (X0[:-1] + X0[1:])
-    body = jnp.stack([X0[:-1], mid], axis=1).reshape((2 * (m - 1),) + X0.shape[1:])
-    out = jnp.concatenate([body, X0[-1:]], axis=0)
-    return jnp.moveaxis(out, 0, ax)
+def _parity_block(Xc: jax.Array, p_axes: tuple) -> jax.Array:
+    """Fine values at points odd in ``p_axes``: on Kuhn/right-diagonal
+    simplex meshes every such point lies on the *main diagonal* of its
+    (sub-)cube, so P1 interpolation averages exactly the two diagonal
+    corners — NOT the 2^k-corner tensor average."""
+    if not p_axes:
+        return Xc
+    lo, hi = Xc, Xc
+    for ax in p_axes:
+        lo = jax.lax.slice_in_dim(lo, 0, lo.shape[ax] - 1, axis=ax)
+        hi = jax.lax.slice_in_dim(hi, 1, hi.shape[ax], axis=ax)
+    return 0.5 * (lo + hi)
 
 
-def _restrict_axis(X: jax.Array, ax: int) -> jax.Array:
-    """Transpose of _interleave_axis: out[i] = X[2i] + 0.5 X[2i-1] + 0.5 X[2i+1]."""
-    X0 = jnp.moveaxis(X, ax, 0)
-    even = X0[::2]
-    odd = X0[1::2]
-    z = jnp.zeros((1,) + X0.shape[1:], X0.dtype)
-    left = jnp.concatenate([odd, z], axis=0)
-    right = jnp.concatenate([z, odd], axis=0)
-    out = even + 0.5 * (left + right)
+def _interleave_blocks(E: jax.Array, O: jax.Array, ax: int) -> jax.Array:
+    """Merge even (m) / odd (m-1) blocks along ax -> 2m-1."""
+    E0 = jnp.moveaxis(E, ax, 0)
+    O0 = jnp.moveaxis(O, ax, 0)
+    m = E0.shape[0]
+    body = jnp.stack([E0[:-1], O0], axis=1).reshape((2 * (m - 1),) + E0.shape[1:])
+    out = jnp.concatenate([body, E0[-1:]], axis=0)
     return jnp.moveaxis(out, 0, ax)
 
 
 def prolong(xc: jax.Array, shape_c: tuple) -> jax.Array:
-    X = xc.reshape(shape_c)
-    for ax in range(len(shape_c)):
-        X = _interleave_axis(X, ax)
-    return X.reshape(-1)
+    """Exact P1 interpolation, coarse -> fine (nested simplicial spaces)."""
+    Xc = xc.reshape(shape_c)
+    d = len(shape_c)
+
+    def build(bits: tuple, ax: int) -> jax.Array:
+        if ax == d:
+            return _parity_block(Xc, tuple(i for i, b in enumerate(bits) if b))
+        E = build(bits + (0,), ax + 1)
+        O = build(bits + (1,), ax + 1)
+        return _interleave_blocks(E, O, ax)
+
+    return build((), 0).reshape(-1)
 
 
 def restrict(rf: jax.Array, shape_f: tuple) -> jax.Array:
-    X = rf.reshape(shape_f)
-    for ax in range(len(shape_f)):
-        X = _restrict_axis(X, ax)
-    return X.reshape(-1)
+    """Transpose of :func:`prolong` (residual restriction)."""
+    import itertools
+
+    Xf = rf.reshape(shape_f)
+    d = len(shape_f)
+    shape_c = tuple((s - 1) // 2 + 1 for s in shape_f)
+    out = jnp.zeros(shape_c, rf.dtype)
+    for bits in itertools.product((0, 1), repeat=d):
+        comp = Xf[tuple(slice(b, None, 2) for b in bits)]  # strided reads: cheap
+        p_axes = tuple(i for i, b in enumerate(bits) if b)
+        if not p_axes:
+            out = out + comp
+            continue
+        sl_lo = tuple(
+            slice(0, shape_c[i] - 1) if i in p_axes else slice(None) for i in range(d)
+        )
+        sl_hi = tuple(
+            slice(1, shape_c[i]) if i in p_axes else slice(None) for i in range(d)
+        )
+        out = out.at[sl_lo].add(0.5 * comp)
+        out = out.at[sl_hi].add(0.5 * comp)
+    return out.reshape(-1)
 
 
 class StructuredPoissonMG:
