@@ -43,6 +43,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .assembly import engine as eng
+from .assembly import shape_uniform as sue
 from .assembly.facets import FacetContext, pressure_surface_vecs
 from .bcs import DirichletBC, PressureBC, bc_mask_and_values
 from .config import real_dtype
@@ -146,6 +147,7 @@ class FractionalStep_AB_CN:
         self._gridflat_v = None
         self._gridflat_q = None
         self._q_nullvec = None
+        self._su = None
         opts_early = options or {}
         if (
             mesh.structured is not None
@@ -175,6 +177,8 @@ class FractionalStep_AB_CN:
                 self._npad_v = num_padded(sv)
                 self._npad_q = num_padded(sq)
                 self._q_nullvec = jnp.asarray(valid_q, dtype=self._dtype)
+                # shared per-shape operator tables (MXU matmul path)
+                self._su = sue.build_shape_uniform(mesh, self._refs, self._dtype)
         if device_mesh is not None:
             from .parallel.sharding import shard_problem
 
@@ -313,21 +317,32 @@ class FractionalStep_AB_CN:
         ctx = self._ctx
         d = self._mesh.dim
         ax = self._axis
-        cell2 = P(ax, None, None) if ax else None
-        const_specs = (
-            dict(M=cell2, K=cell2, Ap=cell2, Mq=cell2, M_diag=P(), Ap_diag=P(), vol=P())
-            if ax
-            else None
-        )
-        consts = self._on_mesh(jax.jit(eng.setup_constants), const_specs)
-        self._M_elems = consts["M"]
-        self._K_elems = consts["K"]
-        self._Ap_elems = consts["Ap"]
-        self._Mq_elems = consts["Mq"]
-        self._M_diag = consts["M_diag"]
-        ap_diag = consts["Ap_diag"]
-        self._vol = float(consts["vol"])
-        self._Ap_diag = jnp.where(self._pbc_mask, 1.0, ap_diag) if self._have_pbc else ap_diag
+        if self._su is not None:
+            # shared-matrix path: no per-cell element-matrix stacks at all
+            su = self._su
+            self._M_elems = self._K_elems = self._Ap_elems = self._Mq_elems = None
+            self._M_diag = sue.diag_shared(su.M_s, ctx.sv, self._dtype)
+            ap_diag = sue.diag_shared(su.Ap_s, ctx.sq, self._dtype)
+            self._vol = float(jax.jit(eng.cell_volume_total)(ctx))
+            self._Ap_diag = ap_diag
+        else:
+            cell2 = P(ax, None, None) if ax else None
+            const_specs = (
+                dict(M=cell2, K=cell2, Ap=cell2, Mq=cell2, M_diag=P(), Ap_diag=P(), vol=P())
+                if ax
+                else None
+            )
+            consts = self._on_mesh(jax.jit(eng.setup_constants), const_specs)
+            self._M_elems = consts["M"]
+            self._K_elems = consts["K"]
+            self._Ap_elems = consts["Ap"]
+            self._Mq_elems = consts["Mq"]
+            self._M_diag = consts["M_diag"]
+            ap_diag = consts["Ap_diag"]
+            self._vol = float(consts["vol"])
+            self._Ap_diag = (
+                jnp.where(self._pbc_mask, 1.0, ap_diag) if self._have_pbc else ap_diag
+            )
 
         # body force (fracstep.py:283-289, 386-390)
         f = self._body_force
@@ -375,8 +390,11 @@ class FractionalStep_AB_CN:
             self._b0[i].x.array[:] = self._uv(b0[i])
         self._b0_dev = jnp.asarray(np.stack(b0), dtype=self._dtype)
 
-        # preassembled mixed matrices (low_memory=False, fracstep.py:392-404)
-        if not self._low_memory:
+        # preassembled mixed matrices (low_memory=False, fracstep.py:392-404);
+        # in shared-matrix mode both strategies route through the per-shape
+        # tables (identical results; the distinction is an implementation
+        # detail of the general path)
+        if not self._low_memory and self._su is None:
             mixed_spec = P(None, ax, None, None) if ax else None
             pg = self._on_mesh(eng.pressure_gradient_mats, mixed_spec)
             gp = self._on_mesh(eng.grad_p_mats, mixed_spec)
@@ -394,6 +412,7 @@ class FractionalStep_AB_CN:
     def _params(self) -> dict:
         return dict(
             ctx=self._ctx,
+            su=self._su,
             fctxs=self._fctxs,
             M=self._M_elems,
             K=self._K_elems,
@@ -420,6 +439,7 @@ class FractionalStep_AB_CN:
         cell = lambda extra=0: P(*((ax,) + (None,) * extra))
         return dict(
             ctx=context_specs(self._ctx, ax),
+            su=None,
             fctxs=[facet_specs(f, ax) for f in self._fctxs],
             M=cell(2),
             K=cell(2),
@@ -453,6 +473,23 @@ class FractionalStep_AB_CN:
     def _assemble_first_dev(self, P: dict, u1, u2, dt, nu, h_qvals):
         ctx = P["ctx"]
         uab = 1.5 * u1 - 0.5 * u2
+        d = u1.shape[0]
+        if self._su is not None:
+            su = P["su"]
+            sv = ctx.sv
+            uab_blocks = [sue.gather_blocks(uab[g], sv) for g in range(d)]
+            uq = sue._uq_blocks(su, uab_blocks, sv)
+            A0_rhs = (1.0 / dt) * su.M_s - 0.5 * nu * su.K_s
+            b_first = jnp.stack(
+                [
+                    sue.matvec_shared(u1[i], A0_rhs, sv, ctx.axis)
+                    - 0.5 * sue.conv_action(su, uq, u1[i], sv, ctx.axis)
+                    for i in range(d)
+                ]
+            )
+            b_first = b_first + P["b0"]
+            A0_lhs = (1.0 / dt) * su.M_s + 0.5 * nu * su.K_s
+            return uab, (A0_lhs, uq), b_first
         C = eng.convection_elems(ctx, uab)
         A_rhs = -0.5 * C + (1.0 / dt) * P["M"] - 0.5 * nu * P["K"]
         b_first = jnp.stack([eng.matvec_v(ctx, A_rhs, u1[i]) for i in range(u1.shape[0])])
@@ -465,11 +502,34 @@ class FractionalStep_AB_CN:
 
     def _tentative_matvec(self, P: dict, A_lhs):
         ctx, mask0 = P["ctx"], P["bc_mask0"]
+        if self._su is not None:
+            su = P["su"]
+            A0, uq = A_lhs
+
+            def mv(x):
+                y = sue.matvec_shared(x, A0, ctx.sv, ctx.axis) + 0.5 * sue.conv_action(
+                    su, uq, x, ctx.sv, ctx.axis
+                )
+                return eng.apply_bc_rows(mask0, y, x)
+
+            return mv
         return lambda x: eng.apply_bc_rows(mask0, eng.matvec_v(ctx, A_lhs, x), x)
+
+    def _tentative_diag(self, P: dict, A_lhs):
+        ctx = P["ctx"]
+        if self._su is not None:
+            su = P["su"]
+            A0, uq = A_lhs
+            return sue.diag_shared(A0, ctx.sv, self._dtype, ctx.axis) + 0.5 * sue.conv_diag(
+                su, uq, ctx.sv, ctx.axis
+            )
+        return eng.diagonal_v(ctx, A_lhs)
 
     def _tentative_assemble_dev(self, P: dict, b_first, ps):
         ctx = P["ctx"]
-        if self._low_memory:
+        if self._su is not None:
+            pv = sue.mixed_action_vq(P["su"].Bmix_s, ps, ctx.sv, ctx.sq, ctx.axis)
+        elif self._low_memory:
             pv = eng.pressure_gradient_vecs(ctx, ps)
         else:
             pv = jnp.stack(
@@ -481,7 +541,7 @@ class FractionalStep_AB_CN:
         """Solve per component; returns (u_new, diff, iters, converged)."""
         ctx = P["ctx"]
         matvec = self._tentative_matvec(P, A_lhs)
-        diag = jnp.where(P["bc_mask0"], 1.0, eng.diagonal_v(ctx, A_lhs))
+        diag = jnp.where(P["bc_mask0"], 1.0, self._tentative_diag(P, A_lhs))
         M = jacobi_preconditioner(diag)
         s = self._solver_u
         us, iters, conv, diff = [], [], [], 0.0
@@ -497,7 +557,9 @@ class FractionalStep_AB_CN:
 
     def _pressure_assemble_dev(self, P: dict, u, dt):
         ctx = P["ctx"]
-        if self._low_memory:
+        if self._su is not None:
+            b2 = sue.divergence_action(P["su"], u, ctx.sv, ctx.sq, ctx.axis)
+        elif self._low_memory:
             b2 = eng.divergence_vec(ctx, u)
         else:
             b2 = jnp.zeros(ctx.ndofs_q, dtype=u.dtype)
@@ -520,7 +582,10 @@ class FractionalStep_AB_CN:
             res = cg(matvec, b2, x0=dp0, M=M, rtol=s.rtol, atol=s.atol, maxiter=s.maxiter)
             dp = res.x
         else:
-            matvec = lambda x: eng.matvec_q(ctx, P["Ap"], x)
+            if self._su is not None:
+                matvec = lambda x: sue.matvec_shared(x, P["su"].Ap_s, ctx.sq, ctx.axis)
+            else:
+                matvec = lambda x: eng.matvec_q(ctx, P["Ap"], x)
             nv = self._q_nullvec
             if nv is None:
                 x0p = dp0 - jnp.mean(dp0)
@@ -543,13 +608,18 @@ class FractionalStep_AB_CN:
             dp = dp - phi_avg
         if self._rotational:
             # ps = Proj_Q(p + dp - xi nu div u)   (fracstep.py:237-247,593-604)
-            rhs = eng.matvec_q(ctx, P["Mq"], p + dp) - self._xi * nu * (
+            if self._su is not None:
+                mq_mv = lambda x: sue.matvec_shared(x, P["su"].Mq_s, ctx.sq, ctx.axis)
+                mq_diag = sue.diag_shared(P["su"].Mq_s, ctx.sq, self._dtype, ctx.axis)
+            else:
+                mq_mv = lambda x: eng.matvec_q(ctx, P["Mq"], x)
+                mq_diag = eng.diagonal_q(ctx, P["Mq"])
+            rhs = mq_mv(p + dp) - self._xi * nu * (
                 eng.source_load_vec_q(ctx, self._div_u_qp(P, u))
             )
-            mq_diag = eng.diagonal_q(ctx, P["Mq"])
             sc = self._solver_c
             res_rot = cg(
-                lambda x: eng.matvec_q(ctx, P["Mq"], x),
+                mq_mv,
                 rhs,
                 x0=p + dp,
                 M=jacobi_preconditioner(mq_diag),
@@ -573,18 +643,22 @@ class FractionalStep_AB_CN:
 
     def _velocity_update_dev(self, P: dict, u, dp, dt):
         ctx = P["ctx"]
-        if self._low_memory:
+        if self._su is not None:
+            g = sue.mixed_action_vq(P["su"].Gq_s, dp, ctx.sv, ctx.sq, ctx.axis)
+            matvec = lambda x: sue.matvec_shared(x, P["su"].M_s, ctx.sv, ctx.axis)
+        elif self._low_memory:
             g = eng.grad_p_vecs(ctx, dp)
+            matvec = lambda x: eng.matvec_v(ctx, P["M"], x)
         else:
             g = jnp.stack(
                 [eng.matvec_vq(ctx, P["grad_p"][i], dp) for i in range(self._mesh.dim)]
             )
-        matvec = lambda x: eng.matvec_v(ctx, P["M"], x)
+            matvec = lambda x: eng.matvec_v(ctx, P["M"], x)
         M = jacobi_preconditioner(P["M_diag"])
         sc = self._solver_c
         us, iters, conv = [], [], []
         for i in range(self._mesh.dim):
-            b3 = eng.matvec_v(ctx, P["M"], u[i]) - dt * g[i]
+            b3 = matvec(u[i]) - dt * g[i]
             res = cg(matvec, b3, x0=u[i], M=M, rtol=sc.rtol, atol=sc.atol, maxiter=sc.maxiter)
             us.append(res.x)
             iters.append(res.iters)
@@ -881,7 +955,20 @@ class FractionalStep_AB_CN:
             raise RuntimeError("call assemble_first first")
         n = self._Vi[0][0].num_dofs
         cd = np.asarray(self._ctx.cd_v)
-        A = eng.elems_to_dense(np.asarray(self._A_elems), cd, cd, n, n)
+        if self._su is not None:
+            # materialize per-cell element matrices from the shared tables
+            A0, _uq = self._A_elems
+            uab = jnp.asarray(
+                self._pv(np.stack([g.x.array for g in self._uab])), self._dtype
+            )
+            C = eng.convection_elems(self._ctx, uab)
+            S = self._ctx.sv[3]
+            ncube = C.shape[0] // S
+            A0_full = jnp.repeat(jnp.asarray(A0), ncube, axis=0)
+            elems = np.asarray(A0_full + 0.5 * C)
+        else:
+            elems = np.asarray(self._A_elems)
+        A = eng.elems_to_dense(elems, cd, cd, n, n)
         bc = self._bc_masks_np[0]
         A[bc, :] = 0.0
         A[np.where(bc)[0], np.where(bc)[0]] = 1.0

@@ -150,6 +150,15 @@ class StructuredPoissonMG:
 
             ctx = dc_replace(ctx, sv=sm, sq=sm)
             elems = eng.stiffness_q_elems(ctx)
+            # shared per-shape matrices: the level matvec becomes big-M
+            # matmuls (assembly/shape_uniform.py)
+            from ..assembly.shape_uniform import build_shape_uniform
+
+            _, refs_l = eng.build_device_context(
+                m, el, Q.dofmap.cell_dofs, Q.num_dofs, el, Q.dofmap.cell_dofs,
+                Q.num_dofs, dtype=dtype,
+            )
+            su_l = build_shape_uniform(m, refs_l, dtype)
             # grid-ordered diagonal
             diag_canon = np.zeros(Q.num_dofs)
             e_np = np.asarray(elems)
@@ -163,6 +172,7 @@ class StructuredPoissonMG:
             grid_shape = tuple(n_k + 1 for n_k in n)
             level = dict(
                 ctx=ctx,
+                su=su_l,
                 elems=jnp.asarray(e_np, dtype=dtype),
                 inv_diag=jnp.asarray(
                     np.where(diag != 0, 1.0 / np.where(diag != 0, diag, 1.0), 0.0),
@@ -194,9 +204,13 @@ class StructuredPoissonMG:
 
     # --- jit-friendly application ------------------------------------------
     def _matvec(self, li: int, x: jax.Array) -> jax.Array:
+        L = self.levels[li]
+        if L["su"] is not None:
+            from ..assembly.shape_uniform import matvec_shared
+
+            return matvec_shared(x, L["su"].Ap_s, L["ctx"].sq)
         from ..assembly import engine as eng
 
-        L = self.levels[li]
         return eng.matvec_q(L["ctx"], L["elems"], x)
 
     def _smooth(self, li: int, z: jax.Array, r: jax.Array) -> jax.Array:
