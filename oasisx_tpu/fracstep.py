@@ -177,8 +177,11 @@ class FractionalStep_AB_CN:
                 self._npad_v = num_padded(sv)
                 self._npad_q = num_padded(sq)
                 self._q_nullvec = jnp.asarray(valid_q, dtype=self._dtype)
-                # shared per-shape operator tables (MXU matmul path)
-                self._su = sue.build_shape_uniform(mesh, self._refs, self._dtype)
+                # shared per-shape operator tables (experimental MXU matmul
+                # path; measured slower than the fused einsum path on the
+                # current backend — opt in via options={"shape_uniform": True})
+                if opts_early.get("shape_uniform", False):
+                    self._su = sue.build_shape_uniform(mesh, self._refs, self._dtype)
         if device_mesh is not None:
             from .parallel.sharding import shard_problem
 
