@@ -162,3 +162,59 @@ def test_facet_area():
     V3 = FunctionSpace(mesh3, ("Lagrange", 1))
     f3 = build_facet_context(mesh3, V3.element, V3.element, mesh3.exterior_facet_indices())
     assert abs(float(facet_area(f3)) - 6.0) < 1e-12
+
+
+def test_vertex_entity_dof_location():
+    """Entity dim 0 (vertices) topological location (reference test_bcs
+    covers entity dims 0..2)."""
+    mesh = create_unit_square(4)
+    V = FunctionSpace(mesh, ("Lagrange", 2))
+    # corner vertex at (0,0) is vertex id with coords (0,0)
+    vid = np.where((np.abs(mesh.x) < 1e-12).all(axis=1))[0]
+    dofs = V.locate_dofs_topological(0, vid)
+    assert len(dofs) == 1
+    assert np.allclose(V.dof_coords[dofs[0]], [0.0, 0.0])
+
+
+def test_pressure_bc_time_dependent_update():
+    """PressureBC with a time-dependent callable: update_bc re-interpolates
+    (reference bcs.py:255-260)."""
+    mesh = create_unit_square(4)
+    V = FunctionSpace(mesh, ("Lagrange", 2))
+    Q = FunctionSpace(mesh, ("Lagrange", 1))
+    from oasisx_tpu.assembly import engine as eng
+
+    ctx, _ = eng.build_device_context(
+        mesh, V.element, V.dofmap.cell_dofs, V.num_dofs, Q.element, Q.dofmap.cell_dofs, Q.num_dofs
+    )
+    facets = locate_entities_boundary(mesh, 1, lambda x: np.isclose(x[0], 1.0))
+    tags = meshtags(mesh, 1, facets, np.full_like(facets, 3))
+
+    class H:
+        def __init__(self):
+            self.t = 0.0
+
+        def eval(self, x):
+            return self.t * (1.0 + x[1])
+
+    h = H()
+    bc = PressureBC(h.eval, (tags, 3))
+    bc.create_bcs(V, Q)
+    r0 = np.asarray(bc.assemble_rhs_all(ctx))
+    assert np.abs(r0).max() < 1e-14  # t=0 -> zero traction
+    h.t = 2.0
+    bc.update_bc()
+    r2 = np.asarray(bc.assemble_rhs_all(ctx))
+    oracle = _facet_oracle(mesh, V, Q, facets, lambda p: 2.0 * (1.0 + p[:, 1]), 0)
+    assert np.abs(r2[0] - oracle).max() < 1e-10
+
+
+def test_set_dofs_override():
+    """DirichletBC.set_dofs bypasses location (reference bcs.py:103-104)."""
+    mesh = create_unit_square(3)
+    V = FunctionSpace(mesh, ("Lagrange", 1))
+    bc = DirichletBC(7.0, LocatorMethod.GEOMETRICAL, lambda x: np.isclose(x[0], 0))
+    bc.set_dofs(np.array([0, 5], dtype=np.int32))
+    bc.create_bc(V)
+    assert (np.sort(bc.dofs) == [0, 5]).all()
+    assert np.allclose(bc.values, 7.0)
