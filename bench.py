@@ -93,8 +93,6 @@ def main():
     try:
         cpu = jax.devices("cpu")
         if cpu and jax.devices()[0].platform != "cpu":
-            import jax.numpy as jnp
-
             with jax.default_device(cpu[0]):
                 s_cpu = build_solver(12, dtype=np.float32)  # 12 even -> MG too
                 nvel_cpu = 3 * s_cpu._Vi[0][0].num_dofs

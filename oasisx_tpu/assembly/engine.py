@@ -18,7 +18,6 @@ matvec time (y[bc] = x[bc]).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -19,11 +19,8 @@ the engine (assembly/facets.py).
 from __future__ import annotations
 
 from enum import Enum
-from typing import Callable
-
 import numpy as np
 
-from .assembly import engine as _eng
 from .assembly.facets import FacetContext, build_facet_context, facet_eval_q, pressure_surface_vecs
 from .meshes.tags import MeshTags
 from .spaces.functionspace import Constant, Function, FunctionSpace

@@ -8,7 +8,7 @@ families are provided — the closed set the reference exercises.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -44,7 +44,7 @@ import numpy as np
 
 from .assembly import engine as eng
 from .assembly import shape_uniform as sue
-from .assembly.facets import FacetContext, pressure_surface_vecs
+from .assembly.facets import pressure_surface_vecs
 from .bcs import DirichletBC, PressureBC, bc_mask_and_values
 from .config import real_dtype
 from .elements.element import FiniteElement, make_element

@@ -13,7 +13,6 @@ Re-provides (TPU-natively, host-side; none of this is hot-path):
 
 from __future__ import annotations
 
-import json
 import os
 from pathlib import Path
 

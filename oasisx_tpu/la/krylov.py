@@ -16,7 +16,6 @@ surfaced as a value from jitted code (SURVEY §5 failure-detection note).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple
 
 import jax

@@ -11,7 +11,7 @@ so ``collapse`` maps are simple strided index arrays.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable
 
 import numpy as np
