@@ -125,3 +125,20 @@ def test_channel_demo_poiseuille():
 
     err_x, err_y = channel.main(["-N", "6", "-T", "0.5", "-dt", "0.025"])
     assert err_x < 0.02 and err_y < 0.02
+
+
+def test_taylor_green3d_demo_smoke():
+    """3D TG energy-dissipation demo (BASELINE config #4) runs and decays."""
+    import taylor_green3d as tg3
+
+    out = tg3.main(["-N", "6", "-dt", "0.02", "-T", "0.2", "--chunk", "5"])
+    e = out["kinetic_energy"]
+    assert e[0] > 0 and np.isfinite(e).all()
+    assert e[-1] <= e[0] * 1.001  # energy does not grow
+
+
+def test_vessel_demo_smoke():
+    import vessel
+
+    out = vessel.main(["--n-axial", "8", "--n-cross", "3", "-T", "0.06", "-dt", "0.02"])
+    assert np.isfinite(out["max_velocity"]).all()
