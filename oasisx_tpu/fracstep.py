@@ -547,17 +547,16 @@ class FractionalStep_AB_CN:
         diag = jnp.where(P["bc_mask0"], 1.0, self._tentative_diag(P, A_lhs))
         M = jacobi_preconditioner(diag)
         s = self._solver_u
-        solver = cg if s.method == "cg" else bicgstab
-        rhs = jnp.where(P["bc_masks"], bc_vals, rhs1)  # (d, n)
-
-        # all components share the operator (fracstep.py:470 note): vmap the
-        # per-component solves so each A application serves d RHS at once
-        def solve_one(b, x0):
-            return solver(matvec, b, x0=x0, M=M, rtol=s.rtol, atol=s.atol, maxiter=s.maxiter)
-
-        res = jax.vmap(solve_one)(rhs, u)
-        diff = jnp.sum(jnp.linalg.norm(res.x - u, axis=1))
-        return res.x, diff, res.iters, res.converged
+        us, iters, conv, diff = [], [], [], 0.0
+        for i in range(self._mesh.dim):
+            rhs = jnp.where(P["bc_masks"][i], bc_vals[i], rhs1[i])
+            solver = cg if s.method == "cg" else bicgstab
+            res = solver(matvec, rhs, x0=u[i], M=M, rtol=s.rtol, atol=s.atol, maxiter=s.maxiter)
+            us.append(res.x)
+            iters.append(res.iters)
+            conv.append(res.converged)
+            diff = diff + jnp.linalg.norm(res.x - u[i])
+        return jnp.stack(us), diff, jnp.stack(iters), jnp.stack(conv)
 
     def _pressure_assemble_dev(self, P: dict, u, dt):
         ctx = P["ctx"]
@@ -660,13 +659,14 @@ class FractionalStep_AB_CN:
             matvec = lambda x: eng.matvec_v(ctx, P["M"], x)
         M = jacobi_preconditioner(P["M_diag"])
         sc = self._solver_c
-        b3 = jax.vmap(matvec)(u) - dt * g
-
-        def solve_one(b, x0):
-            return cg(matvec, b, x0=x0, M=M, rtol=sc.rtol, atol=sc.atol, maxiter=sc.maxiter)
-
-        res = jax.vmap(solve_one)(b3, u)
-        return res.x, res.iters, res.converged
+        us, iters, conv = [], [], []
+        for i in range(self._mesh.dim):
+            b3 = matvec(u[i]) - dt * g[i]
+            res = cg(matvec, b3, x0=u[i], M=M, rtol=sc.rtol, atol=sc.atol, maxiter=sc.maxiter)
+            us.append(res.x)
+            iters.append(res.iters)
+            conv.append(res.converged)
+        return jnp.stack(us), jnp.stack(iters), jnp.stack(conv)
 
     # ------------------------------------------------------------------
     # fused jitted step (+ multi-step run loop)
