@@ -94,9 +94,14 @@ class Mesh:
     def topology(self) -> Topology:
         return _build_topology(self)
 
-    def h(self, entities: np.ndarray | None = None) -> np.ndarray:
-        """Cell diameters (max edge length), reference ``mesh.h`` usage
-        (demo/taylor_green.py:219)."""
+    def h(self, dim: int | np.ndarray | None = None, entities: np.ndarray | None = None) -> np.ndarray:
+        """Cell diameters (max edge length). Accepts both ``h()``/``h(entities)``
+        and the dolfinx signature ``h(dim, entities)`` (reference usage
+        demo/taylor_green.py:219)."""
+        if dim is not None and entities is None and not np.isscalar(dim):
+            entities = np.asarray(dim)
+        elif dim is not None and np.isscalar(dim) and int(dim) != self.dim:
+            raise ValueError("h() supports cell entities only")
         cells = self.cells if entities is None else self.cells[entities]
         pts = self.x[cells]  # (n, nv, gdim)
         nv = pts.shape[1]
