@@ -52,7 +52,7 @@ def build_solver(N, dtype, device_mesh=None, rtol=1e-5):
         bcs_p=[],
         solver_options={"tentative": dict(opts), "pressure": dict(opts), "scalar": dict(opts)},
         options={
-            "low_memory_version": os.environ.get("BENCH_LOW_MEMORY", "1") == "1",
+            "low_memory_version": os.environ.get("BENCH_LOW_MEMORY", "0") == "1",
             "shape_uniform": os.environ.get("BENCH_SHAPE_UNIFORM", "0") == "1",
         },
         dtype=dtype,
