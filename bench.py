@@ -78,6 +78,14 @@ def measure(solver, dt, nu, steps=5):
 def main():
     import jax
 
+    # persistent compile cache: repeat runs skip the (minutes-long) XLA
+    # compilation of the step program where the backend supports it
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     dt, nu = 2e-3, 1.0 / 1600.0
 
     # --- TPU (or default-device) run at ~1M velocity DOFs ------------------
@@ -96,7 +104,7 @@ def main():
             with jax.default_device(cpu[0]):
                 s_cpu = build_solver(12, dtype=np.float32)  # 12 even -> MG too
                 nvel_cpu = 3 * s_cpu._Vi[0][0].num_dofs
-                sec_cpu, _ = measure(s_cpu, dt, nu, steps=3)
+                sec_cpu, _ = measure(s_cpu, dt, nu, steps=2)
                 cpu_rate = nvel_cpu / sec_cpu / 1e6
     except Exception as e:  # pragma: no cover
         print(f"cpu-baseline failed: {e}", file=sys.stderr)
