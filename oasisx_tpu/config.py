@@ -6,7 +6,24 @@ runs use float32 state (TPU has no native f64 — SURVEY §7 'hard parts' #3).
 
 from __future__ import annotations
 
+import os
+
+import jax
 import jax.numpy as jnp
+
+# Persistent XLA compilation cache: step programs take minutes to compile
+# on remote-compile TPU backends; caching makes every subsequent process
+# (tests, demos, benchmarks, the driver) start fast. Opt out with
+# OASISX_TPU_NO_COMPILE_CACHE=1.
+if not os.environ.get("OASISX_TPU_NO_COMPILE_CACHE"):
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
 
 def default_dtype():
