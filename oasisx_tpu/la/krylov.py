@@ -33,6 +33,15 @@ def _identity(x):
     return x
 
 
+def _effective_rtol(rtol: float, dtype) -> float:
+    """Clamp the relative tolerance to what the dtype can reach. Asking
+    float32 for 1e-13 (the 'preonly+lu' mapping) otherwise drives the
+    iteration to maxiter and lets BiCGStab break down."""
+    import numpy as _np
+
+    return max(float(rtol), 50.0 * float(_np.finfo(_np.dtype(dtype)).eps))
+
+
 def cg(
     A: Callable,
     b: jax.Array,
@@ -54,6 +63,7 @@ def cg(
     """
     M = M or _identity
     x0 = jnp.zeros_like(b) if x0 is None else x0
+    rtol = _effective_rtol(rtol, b.dtype)
 
     if nullvec is not None:
         _ee = jnp.vdot(nullvec, nullvec)
@@ -112,6 +122,7 @@ def bicgstab(
     velocity: convection makes A nonsymmetric, fracstep.py:435-442)."""
     M = M or _identity
     x0 = jnp.zeros_like(b) if x0 is None else x0
+    rtol = _effective_rtol(rtol, b.dtype)
     bnorm = jnp.linalg.norm(b)
     tol = jnp.maximum(rtol * bnorm, atol)
 

@@ -164,3 +164,32 @@ def test_fused_solve_matches_split_phase():
     for i in range(2):
         assert np.abs(s1._u[i].x.array - s2._u[i].x.array).max() < 1e-9
     assert np.abs(s1._p.x.array - s2._p.x.array).max() < 1e-9
+
+
+def test_float32_long_horizon_stability():
+    """f32 runs must not diverge when solver tolerances are below the dtype
+    floor (preonly+lu maps to rtol 1e-13; the Krylov layer clamps it to a
+    float32-reachable tolerance — regression for the TPU blowup)."""
+    nu, dt = 0.01, 0.01
+    m = create_rectangle((-1, -1), (1, 1), (8, 8))
+    facets = m.exterior_facet_indices()
+    tags = meshtags(m, 1, facets, np.full_like(facets, 3))
+    t_c = Constant(0.0)
+    ex = TG(t_c, nu)
+    s = FractionalStep_AB_CN(
+        m,
+        ("Lagrange", 2),
+        ("Lagrange", 1),
+        bcs_u=[[DirichletBC(ex.eval_x, LocatorMethod.TOPOLOGICAL, (tags, 3))],
+               [DirichletBC(ex.eval_y, LocatorMethod.TOPOLOGICAL, (tags, 3))]],
+        bcs_p=[],
+        solver_options=SOLVER_OPTS,  # preonly+lu -> rtol 1e-13, clamped in f32
+        dtype=np.float32,
+    )
+    _init(s, ex, t_c, 0.0, dt)
+    for k in range(30):
+        t_c.value = np.asarray((k + 1) * dt)
+        s.solve(dt, nu, max_iter=1)
+    for i in range(2):
+        assert np.isfinite(s._u[i].x.array).all()
+        assert np.abs(s._u[i].x.array).max() < 10.0
