@@ -31,6 +31,13 @@ def import_mesh(path: str | os.PathLike) -> Mesh:
     the reference stub's behavior (mesh.py:14-16) instead of crashing."""
     p = Path(path) if path is not None else None
     if p is None or not p.exists():
+        if p is not None:
+            import logging
+
+            logging.getLogger("oasisx_tpu").warning(
+                "mesh file %s not found; falling back to a 10x10 unit square "
+                "(reference stub behavior)", p
+            )
         return create_unit_square(10, 10)
     if p.suffix == ".npz":
         data = np.load(p, allow_pickle=False)

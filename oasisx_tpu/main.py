@@ -38,6 +38,8 @@ def get_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = get_parser().parse_args(argv)
+    if args.dt <= 0 or args.T <= 0:
+        get_parser().error("-dt and -T must be positive")
     logging.getLogger("oasisx_tpu").setLevel(logging.INFO)
     logger = logging.getLogger("oasisx_tpu.main")
 
