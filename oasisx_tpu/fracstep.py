@@ -358,7 +358,12 @@ class FractionalStep_AB_CN:
             if callable(fi):
                 from .forms.expr import QPEvaluator
 
-                ev = QPEvaluator(self._mesh, 2 * self._V.element.degree + 2, self._dtype)
+                # must evaluate at the SAME quadrature rule the engine uses
+                # (source_load_vec_v contracts against ctx.phi_v)
+                du = self._V.element.degree
+                dp_deg = self._Q.element.degree
+                qdeg = max(3 * du - 1, du + dp_deg, 2 * dp_deg, 2)
+                ev = QPEvaluator(self._mesh, qdeg, self._dtype)
                 xq = np.asarray(ev.xq)
                 pad = np.zeros((3,) + xq.shape[:2])
                 pad[: xq.shape[2]] = np.moveaxis(xq, 2, 0)

@@ -135,3 +135,35 @@ def test_tentative(low_memory, body_force):
             b[V.locate_dofs_topological(1, left)] = 0.0
         b[V.locate_dofs_topological(1, tb)] = 0.0
         assert np.abs(solver._rhs1[i].x.array - b).max() < 1e-12, i
+
+
+def test_callable_body_force():
+    """Spatially varying (callable) body force: assembled b0 must match the
+    quadrature oracle (this path previously evaluated f on a mismatched
+    quadrature rule)."""
+    mesh = create_unit_square(6)
+    f0 = lambda x: 0.3 + 0.0 * x[0]
+    f1 = lambda x: x[0] * x[1]
+    tags, left, tb, right = _setup_bcs(mesh)
+    bc = DirichletBC(0.0, LocatorMethod.TOPOLOGICAL, (tags, 2))
+    solver = FractionalStep_AB_CN(
+        mesh, ("Lagrange", 2), ("Lagrange", 1),
+        bcs_u=[[bc], [bc]], bcs_p=[], body_force=(f0, f1),
+    )
+    V = FunctionSpace(mesh, ("Lagrange", 2))
+    Q = FunctionSpace(mesh, ("Lagrange", 1))
+    # direct oracle: int f v dx with f at physical qp
+    from oasisx_tpu.elements.quadrature import quadrature
+
+    pts, w = quadrature("triangle", 8)
+    phi, _ = V.element.tabulate(pts)
+    v0 = mesh.x[mesh.cells[:, 0]]
+    J = np.stack([mesh.x[mesh.cells[:, i + 1]] - v0 for i in range(2)], axis=2)
+    detJ = np.abs(np.linalg.det(J))
+    xphys = v0[:, None, :] + np.einsum("cgd,qd->cqg", J, pts)
+    for i, f in enumerate((f0, f1)):
+        fq = f([xphys[:, :, 0], xphys[:, :, 1]])
+        e = np.einsum("q,cq,qj,c->cj", w, fq, phi, detJ)
+        ref = np.zeros(V.num_dofs)
+        np.add.at(ref, V.dofmap.cell_dofs.reshape(-1), e.reshape(-1))
+        assert np.abs(solver._b0[i].x.array - ref).max() < 1e-12, i
