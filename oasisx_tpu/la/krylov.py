@@ -33,13 +33,33 @@ def _identity(x):
     return x
 
 
+_warned_rtol_clamps: set = set()
+
+
 def _effective_rtol(rtol: float, dtype) -> float:
     """Clamp the relative tolerance to what the dtype can reach. Asking
     float32 for 1e-13 (the 'preonly+lu' mapping) otherwise drives the
-    iteration to maxiter and lets BiCGStab break down."""
+    iteration to maxiter and lets BiCGStab break down. Logs once per
+    (rtol, dtype) when the user's tolerance is raised by the floor so the
+    change is visible (ADVICE r1)."""
+    import logging
+
     import numpy as _np
 
-    return max(float(rtol), 50.0 * float(_np.finfo(_np.dtype(dtype)).eps))
+    floor = 50.0 * float(_np.finfo(_np.dtype(dtype)).eps)
+    if float(rtol) < floor:
+        key = (float(rtol), _np.dtype(dtype).name)
+        if key not in _warned_rtol_clamps:
+            _warned_rtol_clamps.add(key)
+            logging.getLogger("oasisx_tpu").info(
+                "ksp_rtol %.3g below the %s accuracy floor; using %.3g "
+                "(run in float64 for tighter tolerances)",
+                float(rtol),
+                _np.dtype(dtype).name,
+                floor,
+            )
+        return floor
+    return float(rtol)
 
 
 def cg(

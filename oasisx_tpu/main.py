@@ -28,7 +28,13 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("-u", dest="u_deg", type=int, default=2, help="Velocity degree")
     parser.add_argument("-p", dest="p_deg", type=int, default=1, help="Pressure degree")
     parser.add_argument("--rotational", action="store_true", help="Rotational pressure update")
-    parser.add_argument("--low-memory", action="store_true", default=True)
+    parser.add_argument(
+        "--low-memory",
+        action=argparse.BooleanOptionalAction,
+        default=True,
+        help="Direct-action assembly (--no-low-memory selects the "
+        "preassembled-matrix strategy, reference low_memory_version=False)",
+    )
     parser.add_argument("--max-inner-iter", type=int, default=1)
     parser.add_argument("--output", type=str, default=None, help="Output series stem (.pvd/.vtu)")
     parser.add_argument("--checkpoint", type=str, default=None, help="Checkpoint file (.npz)")

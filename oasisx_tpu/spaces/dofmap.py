@@ -172,6 +172,20 @@ def _encode(entities: np.ndarray, base: int) -> np.ndarray:
     return keys
 
 
+def _lookup_ids(keys_sorted: np.ndarray, perm: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Resolve entity keys to entity ids with a membership check: a facet
+    whose edge/face key is absent (malformed entity list) must raise, not
+    silently map to an arbitrary entity."""
+    pos = np.searchsorted(keys_sorted, keys)
+    bad = (pos >= len(keys_sorted)) | (keys_sorted[np.minimum(pos, len(keys_sorted) - 1)] != keys)
+    if bad.any():
+        raise ValueError(
+            f"{int(bad.sum())} queried sub-entities are not in the mesh entity list "
+            "(malformed facet/entity indices passed to topological dof location)"
+        )
+    return perm[pos]
+
+
 def entity_closure_dofs(
     mesh: Mesh, dofmap: DofMap, element: FiniteElement, edim: int, entities: np.ndarray
 ) -> np.ndarray:
@@ -197,20 +211,20 @@ def entity_closure_dofs(
         keys_sorted, perm = dofmap.edge_lookup
         if mesh.dim == 2:
             pairs = np.sort(fverts, axis=1)
-            eids = perm[np.searchsorted(keys_sorted, _encode(pairs, nverts_mesh))]
+            eids = _lookup_ids(keys_sorted, perm, _encode(pairs, nverts_mesh))
             base = dofmap.offsets["edge"] + eids[:, None] * (deg - 1)
             dofs.append((base + np.arange(deg - 1)[None, :]).reshape(-1))
         else:
             # tet facet: three edges
             for a, b in [(0, 1), (0, 2), (1, 2)]:
                 pairs = np.sort(fverts[:, [a, b]], axis=1)
-                eids = perm[np.searchsorted(keys_sorted, _encode(pairs, nverts_mesh))]
+                eids = _lookup_ids(keys_sorted, perm, _encode(pairs, nverts_mesh))
                 base = dofmap.offsets["edge"] + eids[:, None] * (deg - 1)
                 dofs.append((base + np.arange(deg - 1)[None, :]).reshape(-1))
     if mesh.dim == 3 and deg >= 3 and dofmap.faces is not None:
         keys_sorted, perm = dofmap.face_lookup
         tri = np.sort(fverts, axis=1)
-        fids = perm[np.searchsorted(keys_sorted, _encode(tri, nverts_mesh))]
+        fids = _lookup_ids(keys_sorted, perm, _encode(tri, nverts_mesh))
         nfi = (deg - 1) * (deg - 2) // 2
         base = dofmap.offsets["face"] + fids[:, None] * nfi
         dofs.append((base + np.arange(nfi)[None, :]).reshape(-1))
