@@ -123,15 +123,36 @@ def gather_blocks(x: jax.Array, sm: StructuredMap) -> list:
 
 
 def scatter_blocks(blocks: list, sm: StructuredMap, axis=None) -> jax.Array:
+    """Per-shape block scatter via pad + channel stack (no dynamic-update-
+    slice — see assembly/cubes.py for why DUS is TPU-hostile)."""
+    import itertools
+
     pshape, cells, stride, S, poffsets = sm
     nd = blocks[0].shape[-1]
     dd = len(cells)
-    Y = jnp.zeros(pshape, blocks[0].dtype)
+    accs: dict = {}
     for s in range(S):
         v = blocks[s].reshape(cells + (nd,))
         for i in range(nd):
-            Y = Y.at[_index(sm, s, i)].add(v[(slice(None),) * dd + (i,)])
-    out = Y.reshape(-1)
+            par, base = poffsets[s][i]
+            block = v[(slice(None),) * dd + (i,)]
+            padded = jax.lax.pad(
+                block,
+                jnp.zeros((), block.dtype),
+                [(base[k], 1 - base[k], 0) for k in range(dd)],
+            )
+            key = tuple(par)
+            accs[key] = padded if key not in accs else accs[key] + padded
+    zero = None
+    chans = []
+    for par in itertools.product(*(range(stride) for _ in range(dd))):
+        if par in accs:
+            chans.append(accs[par])
+        else:
+            if zero is None:
+                zero = jnp.zeros(tuple(c + 1 for c in cells), blocks[0].dtype)
+            chans.append(zero)
+    out = jnp.stack(chans).reshape(-1)
     if axis is not None:
         out = jax.lax.psum(out, axis)
     return out

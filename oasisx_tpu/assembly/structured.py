@@ -137,16 +137,40 @@ def structured_gather(x: jax.Array, sm: StructuredMap) -> jax.Array:
 
 
 def structured_scatter(vals: jax.Array, sm: StructuredMap, axis=None) -> jax.Array:
-    """Per-cell local values (nc, nd) -> assembled padded dof vector."""
+    """Per-cell local values (nc, nd) -> assembled padded dof vector.
+
+    Contributions are grouped by parity channel and placed with lax.pad
+    (shifted reads), then the channels are assembled with ONE stack — no
+    dynamic-update-slice (each .at[...].add copies the whole buffer on TPU
+    and dominated the round-1 step; see assembly/cubes.py)."""
     pshape, cells, stride, S, poffsets = sm
     nd = vals.shape[-1]
     d = len(cells)
     v = vals.reshape((S,) + cells + (nd,))
-    Y = jnp.zeros(pshape, vals.dtype)
+    accs: dict = {}
     for s in range(S):
         for i in range(nd):
-            Y = Y.at[_index(sm, s, i)].add(v[(s,) + (slice(None),) * d + (i,)])
-    out = Y.reshape(-1)
+            par, base = poffsets[s][i]
+            block = v[(s,) + (slice(None),) * d + (i,)]
+            padded = jax.lax.pad(
+                block,
+                jnp.zeros((), vals.dtype),
+                [(base[k], 1 - base[k], 0) for k in range(d)],
+            )
+            key = tuple(par)
+            accs[key] = padded if key not in accs else accs[key] + padded
+    import itertools
+
+    zero = None
+    chans = []
+    for par in itertools.product(*(range(stride) for _ in range(d))):
+        if par in accs:
+            chans.append(accs[par])
+        else:
+            if zero is None:
+                zero = jnp.zeros(tuple(c + 1 for c in cells), vals.dtype)
+            chans.append(zero)
+    out = jnp.stack(chans).reshape(-1)
     if axis is not None:
         out = jax.lax.psum(out, axis)
     return out

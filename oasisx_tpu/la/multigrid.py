@@ -64,7 +64,12 @@ def prolong(xc: jax.Array, shape_c: tuple) -> jax.Array:
 
 
 def restrict(rf: jax.Array, shape_f: tuple) -> jax.Array:
-    """Transpose of :func:`prolong` (residual restriction)."""
+    """Transpose of :func:`prolong` (residual restriction).
+
+    The two half-weight contributions of each odd-parity component are
+    placed with lax.pad (shifted reads) instead of .at[...].add — a
+    dynamic-update-slice copies the whole buffer on TPU (see
+    assembly/cubes.py)."""
     import itertools
 
     Xf = rf.reshape(shape_f)
@@ -77,14 +82,14 @@ def restrict(rf: jax.Array, shape_f: tuple) -> jax.Array:
         if not p_axes:
             out = out + comp
             continue
-        sl_lo = tuple(
-            slice(0, shape_c[i] - 1) if i in p_axes else slice(None) for i in range(d)
+        zero = jnp.zeros((), rf.dtype)
+        lo = jax.lax.pad(
+            0.5 * comp, zero, [(0, 1, 0) if i in p_axes else (0, 0, 0) for i in range(d)]
         )
-        sl_hi = tuple(
-            slice(1, shape_c[i]) if i in p_axes else slice(None) for i in range(d)
+        hi = jax.lax.pad(
+            0.5 * comp, zero, [(1, 0, 0) if i in p_axes else (0, 0, 0) for i in range(d)]
         )
-        out = out.at[sl_lo].add(0.5 * comp)
-        out = out.at[sl_hi].add(0.5 * comp)
+        out = out + lo + hi
     return out.reshape(-1)
 
 
