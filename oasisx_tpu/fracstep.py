@@ -42,13 +42,21 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .assembly import convops as cv
+from .assembly import cubes as cub
 from .assembly import engine as eng
-from .assembly import shape_uniform as sue
 from .assembly.facets import pressure_surface_vecs
 from .bcs import DirichletBC, PressureBC, bc_mask_and_values
 from .config import real_dtype
 from .elements.element import FiniteElement, make_element
-from .la import KSPSolver, bicgstab, cg, jacobi_preconditioner
+from .la import (
+    KSPSolver,
+    bicgstab,
+    bicgstab_batched,
+    cg,
+    cg_batched,
+    jacobi_preconditioner,
+)
 from .meshes.mesh import Mesh
 from .spaces.functionspace import Function, FunctionSpace
 
@@ -141,13 +149,13 @@ class FractionalStep_AB_CN:
 
         # structured-grid fast path (assembly/structured.py): static strided
         # slices replace unstructured gathers when both spaces live on the
-        # generator's dof lattice. Restricted (round 1) to single-device
+        # generator's dof lattice. Restricted (round 2) to single-device
         # runs without outlet BCs; dof vectors then use grid ordering
         # internally, converted at the host boundary via _pv/_uv/_pq/_uq.
         self._gridflat_v = None
         self._gridflat_q = None
         self._q_nullvec = None
-        self._su = None
+        self._cu = None
         opts_early = options or {}
         if (
             mesh.structured is not None
@@ -177,11 +185,19 @@ class FractionalStep_AB_CN:
                 self._npad_v = num_padded(sv)
                 self._npad_q = num_padded(sq)
                 self._q_nullvec = jnp.asarray(valid_q, dtype=self._dtype)
-                # shared per-shape operator tables (experimental MXU matmul
-                # path; measured slower than the fused einsum path on the
-                # current backend — opt in via options={"shape_uniform": True})
-                if opts_early.get("shape_uniform", False):
-                    self._su = sue.build_shape_uniform(mesh, self._refs, self._dtype)
+                # cube-batched operators (assembly/cubes.py), lowered to
+                # conv pairs (assembly/convops.py) — the default on uniform
+                # structured meshes. Disable via options={"cube": False}.
+                _cube_flag = opts_early.get("cube")
+                if _cube_flag is None:
+                    _cube_flag = True
+                if _cube_flag:
+                    self._cu = cub.build_cube_ops(
+                        mesh, self._refs, sv, sq, dtype=self._dtype
+                    )
+        self._co = (
+            cv.build_conv_ops(self._cu, self._dtype) if self._cu is not None else None
+        )
         if device_mesh is not None:
             from .parallel.sharding import shard_problem
 
@@ -320,15 +336,19 @@ class FractionalStep_AB_CN:
         ctx = self._ctx
         d = self._mesh.dim
         ax = self._axis
-        if self._su is not None:
-            # shared-matrix path: no per-cell element-matrix stacks at all
-            su = self._su
+        if self._cu is not None:
+            # cube-matrix path: no per-cell element-matrix stacks at all
+            cu = self._cu
             self._M_elems = self._K_elems = self._Ap_elems = self._Mq_elems = None
-            self._M_diag = sue.diag_shared(su.M_s, ctx.sv, self._dtype)
-            ap_diag = sue.diag_shared(su.Ap_s, ctx.sq, self._dtype)
+            self._M_diag = cub.diag_cube(cu.M_c, ctx.sv)
+            self._K_diag = cub.diag_cube(cu.K_c, ctx.sv)
+            self._Mq_diag = cub.diag_cube(cu.Mq_c, ctx.sq)
+            ap_diag = cub.diag_cube(cu.Ap_c, ctx.sq)
             self._vol = float(jax.jit(eng.cell_volume_total)(ctx))
             self._Ap_diag = ap_diag
         else:
+            self._K_diag = None
+            self._Mq_diag = None
             cell2 = P(ax, None, None) if ax else None
             const_specs = (
                 dict(M=cell2, K=cell2, Ap=cell2, Mq=cell2, M_diag=P(), Ap_diag=P(), vol=P())
@@ -399,10 +419,10 @@ class FractionalStep_AB_CN:
         self._b0_dev = jnp.asarray(np.stack(b0), dtype=self._dtype)
 
         # preassembled mixed matrices (low_memory=False, fracstep.py:392-404);
-        # in shared-matrix mode both strategies route through the per-shape
+        # in cube-matrix mode both strategies route through the shared cube
         # tables (identical results; the distinction is an implementation
         # detail of the general path)
-        if not self._low_memory and self._su is None:
+        if not self._low_memory and self._cu is None:
             mixed_spec = P(None, ax, None, None) if ax else None
             pg = self._on_mesh(eng.pressure_gradient_mats, mixed_spec)
             gp = self._on_mesh(eng.grad_p_mats, mixed_spec)
@@ -420,7 +440,9 @@ class FractionalStep_AB_CN:
     def _params(self) -> dict:
         return dict(
             ctx=self._ctx,
-            su=self._su,
+            co=self._co,
+            K_diag=self._K_diag,
+            Mq_diag=self._Mq_diag,
             fctxs=self._fctxs,
             M=self._M_elems,
             K=self._K_elems,
@@ -447,7 +469,9 @@ class FractionalStep_AB_CN:
         cell = lambda extra=0: P(*((ax,) + (None,) * extra))
         return dict(
             ctx=context_specs(self._ctx, ax),
-            su=None,
+            co=None,
+            K_diag=None,
+            Mq_diag=None,
             fctxs=[facet_specs(f, ax) for f in self._fctxs],
             M=cell(2),
             K=cell(2),
@@ -482,22 +506,12 @@ class FractionalStep_AB_CN:
         ctx = P["ctx"]
         uab = 1.5 * u1 - 0.5 * u2
         d = u1.shape[0]
-        if self._su is not None:
-            su = P["su"]
-            sv = ctx.sv
-            uab_blocks = [sue.gather_blocks(uab[g], sv) for g in range(d)]
-            uq = sue._uq_blocks(su, uab_blocks, sv)
-            A0_rhs = (1.0 / dt) * su.M_s - 0.5 * nu * su.K_s
-            b_first = jnp.stack(
-                [
-                    sue.matvec_shared(u1[i], A0_rhs, sv, ctx.axis)
-                    - 0.5 * sue.conv_action(su, uq, u1[i], sv, ctx.axis)
-                    for i in range(d)
-                ]
-            )
+        if self._co is not None:
+            co = P["co"]
+            uqg = cv.conv_uqg(co, uab)
+            b_first = cv.rhs_matvec(co, 1.0 / dt, -0.5 * nu, uqg, u1, ctx.axis)
             b_first = b_first + P["b0"]
-            A0_lhs = (1.0 / dt) * su.M_s + 0.5 * nu * su.K_s
-            return uab, (A0_lhs, uq), b_first
+            return uab, ((1.0 / dt, 0.5 * nu), uqg), b_first
         C = eng.convection_elems(ctx, uab)
         A_rhs = -0.5 * C + (1.0 / dt) * P["M"] - 0.5 * nu * P["K"]
         b_first = jnp.stack([eng.matvec_v(ctx, A_rhs, u1[i]) for i in range(u1.shape[0])])
@@ -510,14 +524,12 @@ class FractionalStep_AB_CN:
 
     def _tentative_matvec(self, P: dict, A_lhs):
         ctx, mask0 = P["ctx"], P["bc_mask0"]
-        if self._su is not None:
-            su = P["su"]
-            A0, uq = A_lhs
+        if self._co is not None:
+            co = P["co"]
+            (a, b), uqg = A_lhs
 
             def mv(x):
-                y = sue.matvec_shared(x, A0, ctx.sv, ctx.axis) + 0.5 * sue.conv_action(
-                    su, uq, x, ctx.sv, ctx.axis
-                )
+                y = cv.tentative_matvec(co, a, b, uqg, x, ctx.axis)
                 return eng.apply_bc_rows(mask0, y, x)
 
             return mv
@@ -525,18 +537,19 @@ class FractionalStep_AB_CN:
 
     def _tentative_diag(self, P: dict, A_lhs):
         ctx = P["ctx"]
-        if self._su is not None:
-            su = P["su"]
-            A0, uq = A_lhs
-            return sue.diag_shared(A0, ctx.sv, self._dtype, ctx.axis) + 0.5 * sue.conv_diag(
-                su, uq, ctx.sv, ctx.axis
+        if self._co is not None:
+            (a, b), uqg = A_lhs
+            return (
+                a * P["M_diag"]
+                + b * P["K_diag"]
+                + 0.5 * cv.conv_diag(P["co"], uqg, ctx.axis)
             )
         return eng.diagonal_v(ctx, A_lhs)
 
     def _tentative_assemble_dev(self, P: dict, b_first, ps):
         ctx = P["ctx"]
-        if self._su is not None:
-            pv = sue.mixed_action_vq(P["su"].Bmix_s, ps, ctx.sv, ctx.sq, ctx.axis)
+        if self._co is not None:
+            pv = cv.mixed_apply(ps, P["co"], P["co"].KB_s, ctx.axis)
         elif self._low_memory:
             pv = eng.pressure_gradient_vecs(ctx, ps)
         else:
@@ -552,6 +565,14 @@ class FractionalStep_AB_CN:
         diag = jnp.where(P["bc_mask0"], 1.0, self._tentative_diag(P, A_lhs))
         M = jacobi_preconditioner(diag)
         s = self._solver_u
+        if self._co is not None:
+            # all components share each op (batched Krylov: one batched
+            # matvec per iteration for the whole (d, n) block)
+            rhs = jnp.where(P["bc_masks"], bc_vals, rhs1)
+            solver = cg_batched if s.method == "cg" else bicgstab_batched
+            res = solver(matvec, rhs, x0=u, M=M, rtol=s.rtol, atol=s.atol, maxiter=s.maxiter)
+            diff = jnp.sum(jnp.sqrt(jnp.sum((res.x - u) ** 2, axis=-1)))
+            return res.x, diff, res.iters, res.converged
         us, iters, conv, diff = [], [], [], 0.0
         for i in range(self._mesh.dim):
             rhs = jnp.where(P["bc_masks"][i], bc_vals[i], rhs1[i])
@@ -565,8 +586,8 @@ class FractionalStep_AB_CN:
 
     def _pressure_assemble_dev(self, P: dict, u, dt):
         ctx = P["ctx"]
-        if self._su is not None:
-            b2 = sue.divergence_action(P["su"], u, ctx.sv, ctx.sq, ctx.axis)
+        if self._co is not None:
+            b2 = cv.divergence(u, P["co"], ctx.axis)
         elif self._low_memory:
             b2 = eng.divergence_vec(ctx, u)
         else:
@@ -590,8 +611,9 @@ class FractionalStep_AB_CN:
             res = cg(matvec, b2, x0=dp0, M=M, rtol=s.rtol, atol=s.atol, maxiter=s.maxiter)
             dp = res.x
         else:
-            if self._su is not None:
-                matvec = lambda x: sue.matvec_shared(x, P["su"].Ap_s, ctx.sq, ctx.axis)
+            if self._co is not None:
+                co = P["co"]
+                matvec = lambda x: cv.matvec(x, co.KAp_g, co.KS_q, co.sm_q, ctx.axis)
             else:
                 matvec = lambda x: eng.matvec_q(ctx, P["Ap"], x)
             nv = self._q_nullvec
@@ -616,9 +638,10 @@ class FractionalStep_AB_CN:
             dp = dp - phi_avg
         if self._rotational:
             # ps = Proj_Q(p + dp - xi nu div u)   (fracstep.py:237-247,593-604)
-            if self._su is not None:
-                mq_mv = lambda x: sue.matvec_shared(x, P["su"].Mq_s, ctx.sq, ctx.axis)
-                mq_diag = sue.diag_shared(P["su"].Mq_s, ctx.sq, self._dtype, ctx.axis)
+            if self._co is not None:
+                co = P["co"]
+                mq_mv = lambda x: cv.matvec(x, co.KMq_g, co.KS_q, co.sm_q, ctx.axis)
+                mq_diag = P["Mq_diag"]
             else:
                 mq_mv = lambda x: eng.matvec_q(ctx, P["Mq"], x)
                 mq_diag = eng.diagonal_q(ctx, P["Mq"])
@@ -651,17 +674,22 @@ class FractionalStep_AB_CN:
 
     def _velocity_update_dev(self, P: dict, u, dp, dt):
         ctx = P["ctx"]
-        if self._su is not None:
-            g = sue.mixed_action_vq(P["su"].Gq_s, dp, ctx.sv, ctx.sq, ctx.axis)
-            matvec = lambda x: sue.matvec_shared(x, P["su"].M_s, ctx.sv, ctx.axis)
-        elif self._low_memory:
+        if self._co is not None:
+            co = P["co"]
+            g = cv.mixed_apply(dp, co, co.KG_s, ctx.axis)
+            matvec = lambda x: cv.matvec(x, co.KM_g, co.KS_v, co.sm_v, ctx.axis)
+            M = jacobi_preconditioner(P["M_diag"])
+            sc = self._solver_c
+            b3 = matvec(u) - dt * g
+            res = cg_batched(matvec, b3, x0=u, M=M, rtol=sc.rtol, atol=sc.atol, maxiter=sc.maxiter)
+            return res.x, res.iters, res.converged
+        if self._low_memory:
             g = eng.grad_p_vecs(ctx, dp)
-            matvec = lambda x: eng.matvec_v(ctx, P["M"], x)
         else:
             g = jnp.stack(
                 [eng.matvec_vq(ctx, P["grad_p"][i], dp) for i in range(self._mesh.dim)]
             )
-            matvec = lambda x: eng.matvec_v(ctx, P["M"], x)
+        matvec = lambda x: eng.matvec_v(ctx, P["M"], x)
         M = jacobi_preconditioner(P["M_diag"])
         sc = self._solver_c
         us, iters, conv = [], [], []
@@ -874,6 +902,7 @@ class FractionalStep_AB_CN:
     # --- split-phase methods (eager, for differential tests mirroring
     # test/test_tentative_velocity.py usage) --------------------------------
     def assemble_first(self, dt: float, nu: float) -> None:
+        self._A0_scalars = (1.0 / dt, 0.5 * nu)  # for tentative_matrix_dense
         for i in range(self._mesh.dim):
             self._uab[i].x.array[:] = 1.5 * self._u1[i].x.array - 0.5 * self._u2[i].x.array
         u1 = jnp.asarray(self._pv(np.stack([g.x.array for g in self._u1])), dtype=self._dtype)
@@ -963,16 +992,18 @@ class FractionalStep_AB_CN:
             raise RuntimeError("call assemble_first first")
         n = self._Vi[0][0].num_dofs
         cd = np.asarray(self._ctx.cd_v)
-        if self._su is not None:
-            # materialize per-cell element matrices from the shared tables
-            A0, _uq = self._A_elems
+        if self._cu is not None:
+            # materialize per-cell element matrices from the per-shape
+            # constants (stored on CubeOps) + the general convection kernel
             uab = jnp.asarray(
                 self._pv(np.stack([g.x.array for g in self._uab])), self._dtype
             )
             C = eng.convection_elems(self._ctx, uab)
             S = self._ctx.sv[3]
             ncube = C.shape[0] // S
-            A0_full = jnp.repeat(jnp.asarray(A0), ncube, axis=0)
+            a_dt, b_nu = self._A0_scalars
+            A0_s = a_dt * np.asarray(self._cu.M_s) + b_nu * np.asarray(self._cu.K_s)
+            A0_full = jnp.repeat(jnp.asarray(A0_s, self._dtype), ncube, axis=0)
             elems = np.asarray(A0_full + 0.5 * C)
         else:
             elems = np.asarray(self._A_elems)

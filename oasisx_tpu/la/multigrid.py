@@ -155,15 +155,15 @@ class StructuredPoissonMG:
 
             ctx = dc_replace(ctx, sv=sm, sq=sm)
             elems = eng.stiffness_q_elems(ctx)
-            # shared per-shape matrices: the level matvec becomes big-M
-            # matmuls (assembly/shape_uniform.py)
-            from ..assembly.shape_uniform import build_shape_uniform
+            # cube-batched operator: the level matvec becomes slice reads +
+            # one shared (nl x nl) matmul (assembly/cubes.py)
+            from ..assembly.cubes import build_cube_ops
 
             _, refs_l = eng.build_device_context(
                 m, el, Q.dofmap.cell_dofs, Q.num_dofs, el, Q.dofmap.cell_dofs,
                 Q.num_dofs, dtype=dtype,
             )
-            su_l = build_shape_uniform(m, refs_l, dtype)
+            cu_l = build_cube_ops(m, refs_l, sm, sm, dtype)
             # grid-ordered diagonal
             diag_canon = np.zeros(Q.num_dofs)
             e_np = np.asarray(elems)
@@ -177,7 +177,7 @@ class StructuredPoissonMG:
             grid_shape = tuple(n_k + 1 for n_k in n)
             level = dict(
                 ctx=ctx,
-                su=su_l,
+                cu=cu_l,
                 elems=jnp.asarray(e_np, dtype=dtype),
                 inv_diag=jnp.asarray(
                     np.where(diag != 0, 1.0 / np.where(diag != 0, diag, 1.0), 0.0),
@@ -210,10 +210,10 @@ class StructuredPoissonMG:
     # --- jit-friendly application ------------------------------------------
     def _matvec(self, li: int, x: jax.Array) -> jax.Array:
         L = self.levels[li]
-        if L["su"] is not None:
-            from ..assembly.shape_uniform import matvec_shared
+        if L["cu"] is not None:
+            from ..assembly.cubes import matvec_cube
 
-            return matvec_shared(x, L["su"].Ap_s, L["ctx"].sq)
+            return matvec_cube(x, L["cu"].Ap_c, L["ctx"].sq)
         from ..assembly import engine as eng
 
         return eng.matvec_q(L["ctx"], L["elems"], x)

@@ -1,4 +1,10 @@
-"""Shape-uniform (shared-matrix) operator path: opt-in equivalence test."""
+"""Cube-path (shared cube-matrix) vs general element path: equivalence test.
+
+(The round-1 ``shape_uniform`` per-shape path was superseded by the
+cube-batched operators in assembly/cubes.py; this test now gates the
+default cube path against the general element-matrix engine through the
+full solver.)
+"""
 
 import numpy as np
 import pytest
@@ -7,7 +13,7 @@ from oasisx_tpu import DirichletBC, FractionalStep_AB_CN, LocatorMethod
 from oasisx_tpu.meshes import create_box, meshtags
 
 
-def _build(shape_uniform):
+def _build(cube):
     mesh = create_box((-1, -1, -1), (1, 1, 1), (4, 4, 4))
     facets = mesh.exterior_facet_indices()
     tags = meshtags(mesh, 2, facets, np.full_like(facets, 1))
@@ -15,7 +21,7 @@ def _build(shape_uniform):
     s = FractionalStep_AB_CN(
         mesh, ("Lagrange", 2), ("Lagrange", 1), bcs, [],
         solver_options={k: {"ksp_rtol": 1e-12} for k in ("tentative", "pressure", "scalar")},
-        options={"shape_uniform": shape_uniform},
+        options={"cube": cube},
     )
     for i in range(3):
         s._u1[i].interpolate(lambda x: 0.2 * np.sin(np.pi * x[0]) * np.cos(np.pi * x[1]))
@@ -23,14 +29,14 @@ def _build(shape_uniform):
     return s
 
 
-def test_shape_uniform_matches_elems_path():
-    s_su = _build(True)
+def test_cube_path_matches_elems_path():
+    s_cu = _build(True)
     s_el = _build(False)
-    assert s_su._su is not None and s_el._su is None
+    assert s_cu._cu is not None and s_el._cu is None
     for _ in range(2):
-        s_su.solve(0.02, 0.05, max_iter=2)
+        s_cu.solve(0.02, 0.05, max_iter=2)
         s_el.solve(0.02, 0.05, max_iter=2)
     for i in range(3):
-        a, b = s_su._u[i].x.array, s_el._u[i].x.array
+        a, b = s_cu._u[i].x.array, s_el._u[i].x.array
         assert np.abs(a - b).max() < 1e-8 * max(1.0, np.abs(b).max())
-    assert np.abs(s_su._p.x.array - s_el._p.x.array).max() < 1e-7
+    assert np.abs(s_cu._p.x.array - s_el._p.x.array).max() < 1e-7
