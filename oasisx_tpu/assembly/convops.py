@@ -306,3 +306,181 @@ def rhs_matvec(ops: ConvOps, a, b, uqg, x, axis=None):
     g = _conv(xg, ops.KDg_g, d)
     y1 = _convT(g * uqg, ops.KPw_s, d)
     return _psum(_flat(y0 - 0.5 * y1, x.ndim == 2), axis)
+
+
+# ---------------------------------------------------------------------------
+# exact-movement variant: indicator convs on a 3-way bfloat16 split
+#
+# The folded kernels above need precision=HIGHEST on TPU (f32 conv operands
+# are rounded to bfloat16 at DEFAULT), which is a 6-pass emulation.  Data
+# MOVEMENT, however, can be exact at DEFAULT: split x into three bf16-exact
+# parts (hi = bf16(x), mid = bf16(x - hi), lo = bf16(x - hi - mid) — an
+# f32 mantissa is 24 = 3x8 bits, so hi+mid+lo == x), run ONE indicator-
+# kernel conv over the stacked parts (products with 0/1 taps are exact,
+# accumulation is f32), and sum the parts back.  The cube matrices are then
+# applied as separate small channel contractions at full precision.  Per
+# matvec: ~10 ops instead of ~60 slice ops — on the relay backend, where
+# every op pays a fixed dispatch cost, that is the difference that matters.
+# ---------------------------------------------------------------------------
+
+
+def split3(x: jax.Array) -> jax.Array:
+    """f32 -> (3, ...) bf16-exact parts summing exactly to x (24 = 3x8
+    mantissa bits).  For other dtypes (f64 on CPU, where convs are computed
+    exactly at operand precision) no split is needed: (1, ...)."""
+    if x.dtype != jnp.float32:
+        return x[None]
+    hi = x.astype(jnp.bfloat16).astype(x.dtype)
+    r = x - hi
+    mid = r.astype(jnp.bfloat16).astype(x.dtype)
+    lo = r - mid
+    return jnp.stack([hi, mid, lo])
+
+
+def indicator_kernels(sm: StructuredMap):
+    """(KI_gather (2..,s^d,nl), KI_scatter (2..,nl,s^d)) 0/1 kernels."""
+    deg, d, maps = _slots(sm)
+    nl = (deg + 1) ** d
+    KG = np.zeros((2,) * d + (deg**d, nl))
+    KS = np.zeros((2,) * d + (nl, deg**d))
+    for delta, p_idx, t_idx in maps:
+        KG[delta + (p_idx, t_idx)] = 1.0
+        KS[delta + (t_idx, p_idx)] = 1.0
+    return KG, _flip(KS, d)
+
+
+def gather_exact(x: jax.Array, KI: jax.Array, sm: StructuredMap) -> jax.Array:
+    """(B?, npad) -> (B, nl, *cube_spatial), exact in f32."""
+    d = len(sm[1])
+    g = _grid(x, sm)  # (B, C, *sp)
+    B = g.shape[0]
+    sp = split3(g)
+    nparts = sp.shape[0]
+    parts = sp.reshape((nparts * B,) + g.shape[1:])
+    u = jax.lax.conv_general_dilated(
+        parts, KI, (1,) * d, "VALID", dimension_numbers=_dn(d)
+    )
+    return u.reshape((nparts, B) + u.shape[1:]).sum(axis=0)
+
+
+def scatter_exact(U: jax.Array, KI_s: jax.Array, sm: StructuredMap, axis=None) -> jax.Array:
+    """(B, nl, *cube_spatial) -> (B, npad) (squeezed if B==1 input was 1-D
+    is NOT inferred here — caller reshapes), exact in f32."""
+    d = len(sm[1])
+    B = U.shape[0]
+    sp = split3(U)
+    nparts = sp.shape[0]
+    parts = sp.reshape((nparts * B,) + U.shape[1:])
+    y = jax.lax.conv_transpose(
+        parts, KI_s, (1,) * d, "VALID", dimension_numbers=_dn(d)
+    )
+    y = y.reshape((nparts, B) + y.shape[1:]).sum(axis=0)
+    out = y.reshape(B, -1)
+    return _psum(out, axis)
+
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _chan(C: jax.Array, U: jax.Array, precision=_HI) -> jax.Array:
+    """Channel contraction: (o, c) x (B, c, *sp) -> (B, o, *sp)."""
+    return jnp.einsum("oc,bc...->bo...", C, U, precision=precision)
+
+
+def matvec_exact(x: jax.Array, C: jax.Array, E: "ExactOps", space: str, axis=None):
+    """y = A x for a square operator with cube matrix C ('v' or 'q' space)."""
+    KI_g, KI_s, sm = E.pick(space)
+    batched = x.ndim == 2
+    U = gather_exact(x, KI_g, sm)
+    y = scatter_exact(_chan(C, U), KI_s, sm, axis)
+    return y if batched else y[0]
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class ExactOps:
+    """Indicator kernels + flat quadrature tables for the exact conv path."""
+
+    KIv_g: jax.Array
+    KIv_s: jax.Array
+    KIq_g: jax.Array
+    KIq_s: jax.Array
+    Phi: jax.Array  # (Q, nl_v)
+    DgF: jax.Array  # (Q*d, nl_v)
+    PhiWg: jax.Array  # (Q*d, nl_v) PhiW repeated over g
+    EdF: jax.Array  # (Q*d, nl_v)
+    sm_v: tuple = field(metadata=dict(static=True))
+    sm_q: tuple = field(metadata=dict(static=True))
+
+    def pick(self, space: str):
+        if space == "v":
+            return self.KIv_g, self.KIv_s, self.sm_v
+        return self.KIq_g, self.KIq_s, self.sm_q
+
+    @property
+    def dim(self) -> int:
+        return len(self.sm_v[1])
+
+
+def build_exact_ops(cu: CubeOps, dtype) -> ExactOps:
+    f = lambda x: jnp.asarray(x, dtype=dtype)
+    KIv_g, KIv_s = indicator_kernels(cu.sm_v)
+    KIq_g, KIq_s = indicator_kernels(cu.sm_q)
+    Phi = np.asarray(cu.Phi)
+    Dg = np.asarray(cu.Dg)  # (Q, d, nl)
+    PhiW = np.asarray(cu.PhiW)
+    Ed = np.asarray(cu.Ediag)  # (Q, d, nl)
+    Q, d, nl = Dg.shape
+    return ExactOps(
+        KIv_g=f(KIv_g),
+        KIv_s=f(KIv_s),
+        KIq_g=f(KIq_g),
+        KIq_s=f(KIq_s),
+        Phi=f(Phi),
+        DgF=f(Dg.reshape(Q * d, nl)),
+        PhiWg=f(np.repeat(PhiW, d, axis=0)),
+        EdF=f(Ed.reshape(Q * d, nl)),
+        sm_v=cu.sm_v,
+        sm_q=cu.sm_q,
+    )
+
+
+def conv_uqg_exact(E: ExactOps, uab: jax.Array) -> jax.Array:
+    """uab (d, npad) -> (1, Q*d, *cube_spatial), channels (q, g)-major."""
+    U = gather_exact(uab, E.KIv_g, E.sm_v)  # (d, nl, sp)
+    vals = _chan(E.Phi, U, precision=jax.lax.Precision.HIGHEST)  # (d, Q, sp)
+    perm = jnp.moveaxis(vals, 0, 1)  # (Q, d, *sp)
+    return perm.reshape((1,) + (perm.shape[0] * perm.shape[1],) + perm.shape[2:])
+
+
+def tentative_matvec_exact(E: ExactOps, cu: CubeOps, a, b, uqg, x, sign=1.0, axis=None):
+    """y = [a*M + b*K + sign/2 * C(uab)] x, batched over components, with one
+    shared gather/scatter pair and exact f32 data movement."""
+    batched = x.ndim == 2
+    U = gather_exact(x, E.KIv_g, E.sm_v)  # (B, nl, sp)
+    A0 = a * cu.M_c + b * cu.K_c
+    Y = _chan(A0, U)
+    G = _chan(E.DgF, U)  # (B, Q*d, sp)
+    Y = Y + (0.5 * sign) * _chan(E.PhiWg.T, G * uqg)
+    y = scatter_exact(Y, E.KIv_s, E.sm_v, axis)
+    return y if batched else y[0]
+
+
+def conv_diag_exact(E: ExactOps, uqg, axis=None) -> jax.Array:
+    """Assembled diagonal of C(uab)."""
+    D = _chan(E.EdF.T, uqg)  # (1, nl, sp)
+    return scatter_exact(D, E.KIv_s, E.sm_v, axis)[0]
+
+
+def divergence_exact(E: ExactOps, cu: CubeOps, u3: jax.Array, axis=None) -> jax.Array:
+    """b2 = sum_g B_g^T u_g."""
+    U = gather_exact(u3, E.KIv_g, E.sm_v)  # (d, nl_v, sp)
+    t = jnp.einsum("gvq,gv...->q...", cu.B_c, U, precision=_HI)[None]
+    return scatter_exact(t, E.KIq_s, E.sm_q, axis)[0]
+
+
+def mixed_exact(E: ExactOps, C_all: jax.Array, p: jax.Array, axis=None) -> jax.Array:
+    """r_g = C_g p for all components: (d, npad_v)."""
+    Uq = gather_exact(p, E.KIq_g, E.sm_q)  # (1, nl_q, sp)
+    Y = jnp.einsum("gvq,bq...->gv...", C_all, Uq, precision=_HI)
+    return scatter_exact(Y, E.KIv_s, E.sm_v, axis)

@@ -1,0 +1,497 @@
+"""Pallas TPU mega-kernels for the structured hot path.
+
+Why kernels: on the TPU relay backend every XLA op in an executed program
+pays a fixed dispatch/scheduling cost (~35-70 us measured), and the
+structured slice formulation costs ~60-120 ops per operator application —
+the round-2 traces show the device busy <15% of the wall clock.  A Pallas
+kernel collapses an entire operator application (or an entire Krylov
+solve) into ONE op with all state resident in VMEM.
+
+Kernels:
+- cube matvec: y = A x with a shared (nl x nl) cube matrix, the
+  slice-accumulate form of assembly/cubes.py (exact f32: VPU multiplies,
+  f32 accumulation; no bf16 rounding anywhere).
+- pressure solve: the ENTIRE preconditioned-CG pressure Poisson solve
+  (Chebyshev-Jacobi preconditioner, nullspace demeaning, convergence
+  test) in one kernel — one op per solve instead of ~1500.
+
+All kernels have interpret-mode paths so correctness tests run on CPU.
+Reference semantics: PETSc KSP pressure solve
+(/root/reference/src/oasisx/fracstep.py:553-605, ksp.py:71-78).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .structured import StructuredMap
+
+
+def _slot_info(sm: StructuredMap):
+    """Per cube-slot t: (channel index, base offset tuple). Channels are the
+    parity-major leading axes of the grid layout."""
+    _, cells, deg, _, _ = sm
+    d = len(cells)
+    nl_side = deg + 1
+    out = []
+    for t_flat in range(nl_side**d):
+        t = np.unravel_index(t_flat, (nl_side,) * d)
+        par = tuple(int(tk % deg) for tk in t)
+        base = tuple(int(tk // deg) for tk in t)
+        ch = int(np.ravel_multi_index(par, (deg,) * d))
+        out.append((ch, base))
+    return out
+
+
+def _grid_shape(sm: StructuredMap):
+    _, cells, deg, _, _ = sm
+    d = len(cells)
+    return (deg**d,) + tuple(c + 1 for c in cells)
+
+
+def _matvec_body(x_ref, acc_ref, C, sm, batch_idx=None):
+    """acc += A x in slice-accumulate form. ``C`` is a host numpy (nl, nl)
+    matrix baked into the kernel; x_ref/acc_ref are grid-shaped VMEM refs
+    (optionally with a leading batch axis indexed by ``batch_idx``)."""
+    slots = _slot_info(sm)
+    _, cells, _, _, _ = sm
+    d = len(cells)
+    nl = len(slots)
+
+    def sl(base):
+        return tuple(slice(base[k], base[k] + cells[k]) for k in range(d))
+
+    for to in range(nl):
+        cho, bo = slots[to]
+        tmp = None
+        for ti in range(nl):
+            c = float(C[to, ti])
+            if c == 0.0:
+                continue
+            chi, bi = slots[ti]
+            idx = (chi,) + sl(bi) if batch_idx is None else (batch_idx, chi) + sl(bi)
+            v = c * x_ref[idx]
+            tmp = v if tmp is None else tmp + v
+        if tmp is not None:
+            odx = (cho,) + sl(bo) if batch_idx is None else (batch_idx, cho) + sl(bo)
+            acc_ref[odx] += tmp
+
+
+def make_matvec(
+    sm: StructuredMap, C: np.ndarray, batch: int = 1, interpret: bool = False
+) -> Callable:
+    """One-op cube matvec: flat (B?, npad) -> same. C baked as constants."""
+    gshape = _grid_shape(sm)
+    npad = int(np.prod(gshape))
+    C = np.asarray(C, dtype=np.float64)
+
+    def kernel(x_ref, y_ref):
+        y_ref[:] = jnp.zeros_like(y_ref)
+        if batch == 1:
+            _matvec_body(x_ref, y_ref, C, sm)
+        else:
+            for b in range(batch):
+                _matvec_body(x_ref, y_ref, C, sm, batch_idx=b)
+
+    shape = gshape if batch == 1 else (batch,) + gshape
+
+    @jax.jit
+    def mv(x):
+        flat_in = x.reshape(shape)
+        y = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(shape, x.dtype),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(flat_in)
+        return y.reshape(x.shape)
+
+    return mv
+
+
+def make_pressure_cg(
+    sm_q: StructuredMap,
+    Ap_c: np.ndarray,
+    inv_diag_flat: np.ndarray,
+    rtol: float,
+    maxiter: int,
+    cheb_degree: int = 0,
+    lmin: float = 0.0,
+    lmax: float = 0.0,
+    project_nullspace: bool = True,
+    interpret: bool = False,
+) -> Callable:
+    """Whole-solve kernel: preconditioned CG for the pressure Poisson.
+
+    Preconditioner: Jacobi (cheb_degree == 0) or a degree-``cheb_degree``
+    Chebyshev acceleration of Jacobi with eigenvalue bounds [lmin, lmax] of
+    D^-1 A (Saad, Iterative Methods, alg. 12.1 adapted as a preconditioner).
+    The singular Neumann operator is handled by demeaning b and the final
+    iterate (reference fracstep.py:573-591).
+
+    Returns fn(b_flat, x0_flat) -> (x_flat, iters, resnorm, converged).
+    """
+    gshape = _grid_shape(sm_q)
+    npad = int(np.prod(gshape))
+    Ap = np.asarray(Ap_c, dtype=np.float64)
+    invd = np.asarray(inv_diag_flat, dtype=np.float32).reshape(gshape)
+    rtol = float(rtol)
+    nmean = float(npad)
+
+    def kernel(b_ref, x0_ref, invd_ref, x_out, it_out, res_out, conv_out, r_s, z_s, p_s, Ap_s):
+        """Ref-mutation PCG: vectors live in the output / scratch refs and
+        the while carry holds only scalars — keeps the scoped-VMEM stack
+        under the 16 MB limit (loop-carried vector values each cost a full
+        buffer)."""
+
+        def matvec_from(src_ref):
+            Ap_s[:] = jnp.zeros_like(Ap_s)
+            _matvec_body(src_ref, Ap_s, Ap, sm_q)
+
+        def demean(v):
+            if not project_nullspace:
+                return v
+            return v - jnp.sum(v) / nmean
+
+        def precond_r_into_z():
+            """z_s <- P(A) r_s (Jacobi or Chebyshev-Jacobi)."""
+            invd_c = invd_ref[:]
+            if cheb_degree == 0:
+                z_s[:] = invd_c * r_s[:]
+                return
+            theta = 0.5 * (lmax + lmin)
+            delta = 0.5 * (lmax - lmin)
+            sigma1 = theta / delta
+            rho = 1.0 / sigma1
+            dk = (invd_c * r_s[:]) / theta
+            z_s[:] = dk
+            for _ in range(cheb_degree - 1):
+                rho_new = 1.0 / (2.0 * sigma1 - rho)
+                matvec_from(z_s)
+                dk = rho_new * rho * dk + (2.0 * rho_new / delta) * (
+                    invd_ref[:] * (r_s[:] - Ap_s[:])
+                )
+                z_s[:] = z_s[:] + dk
+                rho = rho_new
+
+        b = demean(b_ref[:])
+        bnorm = jnp.sqrt(jnp.sum(b * b))
+        tol = rtol * bnorm
+
+        x_out[:] = x0_ref[:]
+        matvec_from(x0_ref)
+        r_s[:] = demean(b - Ap_s[:])
+        precond_r_into_z()
+        p_s[:] = z_s[:]
+        rz0 = jnp.sum(r_s[:] * z_s[:])
+        rn0 = jnp.sqrt(jnp.sum(r_s[:] * r_s[:]))
+
+        def cond(carry):
+            rz, k, rnorm = carry
+            return (rnorm > tol) & (k < maxiter)
+
+        def body(carry):
+            rz, k, rnorm = carry
+            matvec_from(p_s)
+            Apv = demean(Ap_s[:])
+            pAp = jnp.sum(p_s[:] * Apv)
+            alpha = rz / jnp.where(pAp != 0, pAp, 1.0)
+            x_out[:] = x_out[:] + alpha * p_s[:]
+            r_s[:] = r_s[:] - alpha * Apv
+            precond_r_into_z()
+            rz_new = jnp.sum(r_s[:] * z_s[:])
+            beta = rz_new / jnp.where(rz != 0, rz, 1.0)
+            p_s[:] = z_s[:] + beta * p_s[:]
+            return (rz_new, k + 1, jnp.sqrt(jnp.sum(r_s[:] * r_s[:])))
+
+        rz, k, rnorm = jax.lax.while_loop(cond, body, (rz0, jnp.int32(0), rn0))
+        if project_nullspace:
+            x_out[:] = demean(x_out[:])
+        it_out[0] = k
+        res_out[0] = rnorm
+        conv_out[0] = (rnorm <= tol).astype(jnp.int32)
+
+    @jax.jit
+    def solve(b, x0):
+        x, it, res, conv = pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct(gshape, b.dtype),
+                jax.ShapeDtypeStruct((1,), jnp.int32),
+                jax.ShapeDtypeStruct((1,), b.dtype),
+                jax.ShapeDtypeStruct((1,), jnp.int32),
+            ),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM(gshape, b.dtype),
+                pltpu.VMEM(gshape, b.dtype),
+                pltpu.VMEM(gshape, b.dtype),
+                pltpu.VMEM(gshape, b.dtype),
+            ],
+            interpret=interpret,
+        )(b.reshape(gshape), x0.reshape(gshape), jnp.asarray(invd, dtype=b.dtype))
+        return x.reshape(-1), it[0], res[0], conv[0].astype(bool)
+
+    return solve
+
+
+def estimate_eig_bounds(matvec, n, dtype, iters: int = 15, seed: int = 0):
+    """Power iteration for the largest eigenvalue of the (preconditioned)
+    operator; returns (lmin_est, lmax_est) with the standard lmin = lmax/30
+    Chebyshev-smoother convention."""
+    key = jax.random.PRNGKey(seed)
+    v = jax.random.normal(key, (n,), dtype=dtype)
+    v = v / jnp.linalg.norm(v)
+    lam = 1.0
+    for _ in range(iters):
+        w = matvec(v)
+        lam = float(jnp.vdot(v, w))
+        nw = float(jnp.linalg.norm(w))
+        if nw == 0:
+            break
+        v = w / nw
+    lmax = abs(lam) * 1.05
+    return lmax / 30.0, lmax
+
+
+def conv_weight_tensor(cu) -> np.ndarray:
+    """T[(g,m),(i,j)] with C_cube(u)[i,j] = sum_{g,m} u27[g,m] T[(g,m),(i,j)]:
+    the cube-level convection matrix is linear in the convecting velocity's
+    cube-local values. Host-side, tiny ((d*nl) x (nl*nl))."""
+    PhiW = np.asarray(cu.PhiW, np.float64)  # (Q, nl)
+    Phi = np.asarray(cu.Phi, np.float64)  # (Q, nl)
+    Dg = np.asarray(cu.Dg, np.float64)  # (Q, d, nl)
+    T = np.einsum("qi,qm,qgj->gmij", PhiW, Phi, Dg)
+    d, nl = Dg.shape[1], Dg.shape[2]
+    return T.reshape(d * nl, nl * nl)
+
+
+def make_gather(
+    sm: StructuredMap,
+    batch: int = 1,
+    interpret: bool = False,
+    slot_range: tuple | None = None,
+):
+    """One-op cube gather of a SLOT SUBSET: flat (B?, npad) ->
+    (B?, len(slots), *cells). Static slice copies only (remote-compile-safe);
+    chunk slots so (input grid + output block) stays under the ~16 MB
+    scoped-VMEM limit (the (.., n, n) minor dims pad ~3.5x on TPU tiles)."""
+    gshape = _grid_shape(sm)
+    slots = _slot_info(sm)
+    if slot_range is not None:
+        slots = slots[slot_range[0] : slot_range[1]]
+    nl = len(slots)
+    _, cells, _, _, _ = sm
+    d = len(cells)
+    in_shape = gshape if batch == 1 else (batch,) + gshape
+    out_shape = (nl,) + tuple(cells) if batch == 1 else (batch, nl) + tuple(cells)
+
+    def sl(base):
+        return tuple(slice(base[k], base[k] + cells[k]) for k in range(d))
+
+    def kernel(x_ref, u_ref):
+        for t, (ch, base) in enumerate(slots):
+            if batch == 1:
+                u_ref[t] = x_ref[(ch,) + sl(base)]
+            else:
+                for b in range(batch):
+                    u_ref[b, t] = x_ref[(b, ch) + sl(base)]
+
+    @jax.jit
+    def gather(x):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(out_shape, x.dtype),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(x.reshape(in_shape))
+
+    return gather
+
+
+def make_gather_chunked(sm, batch=1, interpret=False, max_slots=9):
+    """Cube gather as a few slot-chunked kernels; returns fn(x) -> (B?, nl,
+    *cells)."""
+    nl = len(_slot_info(sm))
+    ranges = [(a, min(a + max_slots, nl)) for a in range(0, nl, max_slots)]
+    fns = [make_gather(sm, batch, interpret, r) for r in ranges]
+
+    def gather(x):
+        parts = [f(x) for f in fns]
+        return jnp.concatenate(parts, axis=0 if batch == 1 else 1)
+
+    return gather
+
+
+def make_scatter(
+    sm: StructuredMap,
+    batch: int = 1,
+    interpret: bool = False,
+    slot_range: tuple | None = None,
+):
+    """One-op cube scatter of a SLOT SUBSET: (B?, nslots, *cells) -> flat
+    (B?, npad) partial sum. Static slice accumulates only."""
+    gshape = _grid_shape(sm)
+    slots = _slot_info(sm)
+    if slot_range is not None:
+        slots = slots[slot_range[0] : slot_range[1]]
+    nl = len(slots)
+    _, cells, _, _, _ = sm
+    d = len(cells)
+    in_shape = (nl,) + tuple(cells) if batch == 1 else (batch, nl) + tuple(cells)
+    out_shape = gshape if batch == 1 else (batch,) + gshape
+    npad = int(np.prod(gshape))
+
+    def sl(base):
+        return tuple(slice(base[k], base[k] + cells[k]) for k in range(d))
+
+    def kernel(u_ref, y_ref):
+        y_ref[:] = jnp.zeros_like(y_ref)
+        for t, (ch, base) in enumerate(slots):
+            if batch == 1:
+                y_ref[(ch,) + sl(base)] += u_ref[t]
+            else:
+                for b in range(batch):
+                    y_ref[(b, ch) + sl(base)] += u_ref[b, t]
+
+    @jax.jit
+    def scatter(U):
+        y = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(out_shape, U.dtype),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(U.reshape(in_shape))
+        return y.reshape((npad,) if batch == 1 else (batch, npad))
+
+    return scatter
+
+
+def make_scatter_chunked(sm, batch=1, interpret=False, max_slots=9):
+    """Cube scatter as slot-chunked kernels summed: fn(U) -> (B?, npad)."""
+    nl = len(_slot_info(sm))
+    ranges = [(a, min(a + max_slots, nl)) for a in range(0, nl, max_slots)]
+    fns = [make_scatter(sm, batch, interpret, r) for r in ranges]
+
+    def scatter(U):
+        ax = 0 if batch == 1 else 1
+        acc = None
+        for f, (a, b) in zip(fns, ranges):
+            part = f(jax.lax.slice_in_dim(U, a, b, axis=ax))
+            acc = part if acc is None else acc + part
+        return acc
+
+    return scatter
+
+
+def make_tent_matvec_hbm(sm: StructuredMap, interpret: bool = False):
+    """Fully-fused per-component tentative matvec:
+
+        y = sum_cubes P_c^T ( W[:, :, c] ) P_c x
+
+    with the per-cube element matrices W STREAMED from HBM by
+    double-buffered in-kernel DMA while x and the accumulator stay
+    VMEM-resident.  One op per application; the (to, ti) loop is unrolled so
+    every slice is static, and W's minor spatial dims are PADDED to full
+    (8, 128) tiles host-side — Mosaic requires DMA slices tile-aligned.
+    W folds a*M + b*K + 1/2 C(uab), built per step in XLA (see
+    ``pad_weights``)."""
+    gshape = _grid_shape(sm)
+    slots = _slot_info(sm)
+    nl = len(slots)
+    _, cells, _, _, _ = sm
+    d = len(cells)
+    npad = int(np.prod(gshape))
+    pcells = _padded_cells(cells)
+
+    def sl(base):
+        return tuple(slice(base[k], base[k] + cells[k]) for k in range(d))
+
+    wsl = (slice(None),) * max(0, d - 2) + tuple(slice(0, cells[k]) for k in range(max(0, d - 2), d))
+
+    def kernel(w_hbm, x_ref, y_ref):
+        def body(wbuf, sem):
+            y_ref[:] = jnp.zeros_like(y_ref)
+
+            def dma(idx, slot):
+                return pltpu.make_async_copy(
+                    w_hbm.at[idx // nl, idx % nl], wbuf.at[slot], sem.at[slot]
+                )
+
+            dma(0, 0).start()
+            for idx in range(nl * nl):
+                slot = idx % 2
+                if idx + 1 < nl * nl:
+                    dma(idx + 1, (idx + 1) % 2).start()
+                dma(idx, slot).wait()
+                to, ti = divmod(idx, nl)
+                cho, bo = slots[to]
+                chi, bi = slots[ti]
+                w = wbuf[(slot,) + wsl]
+                y_ref[(cho,) + sl(bo)] += w * x_ref[(chi,) + sl(bi)]
+
+        pl.run_scoped(
+            body,
+            wbuf=pltpu.VMEM((2,) + pcells, jnp.float32),
+            sem=pltpu.SemaphoreType.DMA((2,)),
+        )
+
+    @jax.jit
+    def mv(Wp, x):
+        """Wp: (nl, nl, *padded_cells) from ``pad_weights``; x flat."""
+        y = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(gshape, x.dtype),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(Wp, x.reshape(gshape))
+        return y.reshape(-1)
+
+    return mv
+
+
+def _padded_cells(cells):
+    """Pad the last two spatial dims to full (8, 128) f32 tiles."""
+    cells = tuple(cells)
+    if len(cells) == 1:
+        return (-(-cells[0] // 128) * 128,)
+    out = list(cells)
+    out[-2] = -(-out[-2] // 8) * 8
+    out[-1] = -(-out[-1] // 128) * 128
+    return tuple(out)
+
+
+def pad_weights(W_flat: jax.Array, sm: StructuredMap) -> jax.Array:
+    """(nl*nl, ncube) or (nl, nl, ncube) -> (nl, nl, *padded_cells)."""
+    _, cells, deg, _, _ = sm
+    d = len(cells)
+    nl = (deg + 1) ** d
+    pcells = _padded_cells(cells)
+    W = W_flat.reshape((nl, nl) + tuple(cells))
+    pads = [(0, 0), (0, 0)] + [(0, pcells[k] - cells[k]) for k in range(d)]
+    return jnp.pad(W, pads)

@@ -185,18 +185,20 @@ class FractionalStep_AB_CN:
                 self._npad_v = num_padded(sv)
                 self._npad_q = num_padded(sq)
                 self._q_nullvec = jnp.asarray(valid_q, dtype=self._dtype)
-                # cube-batched operators (assembly/cubes.py), lowered to
-                # conv pairs (assembly/convops.py) — the default on uniform
-                # structured meshes. Disable via options={"cube": False}.
-                _cube_flag = opts_early.get("cube")
-                if _cube_flag is None:
-                    _cube_flag = True
-                if _cube_flag:
-                    self._cu = cub.build_cube_ops(
-                        mesh, self._refs, sv, sq, dtype=self._dtype
-                    )
+                # cube-batched operators (assembly/cubes.py): built whenever
+                # the per-shape geometry is uniform — they feed the Pallas
+                # mega-kernels and (optionally) the conv-lowered hot path.
+                self._cu = cub.build_cube_ops(
+                    mesh, self._refs, sv, sq, dtype=self._dtype
+                )
+        # exact-split conv hot path (assembly/convops.py): opt-in via
+        # options={"cube": True} — measured slower than the slice path on
+        # the current backend (XLA inserts layout copies around the convs)
+        _cube_flag = opts_early.get("cube")
         self._co = (
-            cv.build_conv_ops(self._cu, self._dtype) if self._cu is not None else None
+            cv.build_exact_ops(self._cu, self._dtype)
+            if (self._cu is not None and bool(_cube_flag))
+            else None
         )
         if device_mesh is not None:
             from .parallel.sharding import shard_problem
@@ -225,6 +227,7 @@ class FractionalStep_AB_CN:
         self._body_force = body_force
         self._compile_and_allocate_forms()
         self._preassemble()
+        self._build_pallas(options)
         self._build_mg(solver_options)
         self._build_step()
 
@@ -286,8 +289,11 @@ class FractionalStep_AB_CN:
         """Geometric multigrid preconditioner for the pressure Poisson
         (la/multigrid.py): used when the structured fast path is active,
         the pressure space is P1, there is no outlet BC, and the pressure
-        pc_type is not explicitly jacobi/none."""
+        pc_type is not explicitly jacobi/none. Skipped when the Pallas
+        whole-solve pressure kernel is active (it supersedes MG)."""
         self._mg = None
+        if getattr(self, "_pallas_p", None) is not None:
+            return
         popts = (solver_options or {}).get("pressure") or {}
         pc = str(popts.get("pc_type", "mg")).lower()
         if (
@@ -307,6 +313,113 @@ class FractionalStep_AB_CN:
                 logger.info("pressure MG disabled: %s", e)
             except Exception as e:  # pragma: no cover - fallback path
                 logger.warning("pressure MG construction failed: %s", e)
+
+    def _build_pallas(self, options: dict | None) -> None:
+        """One-op Pallas mega-kernels (assembly/pallas_ops.py) for the
+        structured f32 TPU path: the entire pressure Poisson solve
+        (Chebyshev-Jacobi PCG) runs as a single kernel. On the remote-relay
+        backend every XLA op pays a fixed dispatch cost, so collapsing the
+        ~1500-op MG-CG solve into one op is worth ~50-100 ms/step."""
+        self._pallas_p = None
+        self._pallas_tent = None
+        self._pallas_mass = None
+        opts = options or {}
+        if (
+            self._cu is None
+            or self._have_pbc
+            or self._dtype != jnp.float32
+            or jax.default_backend() == "cpu"
+            or not opts.get("pallas", True)
+        ):
+            return
+        nv = self._q_nullvec
+        if nv is None or not bool(np.asarray(nv).all()):
+            return  # padded pressure layout: kernel demean would be wrong
+        try:
+            from .assembly import pallas_ops as po
+            from .la.krylov import _effective_rtol
+
+            Ap_np = np.asarray(self._cu.Ap_c, np.float64)
+            diag = np.asarray(self._Ap_diag)
+            invd = np.where(diag != 0, 1.0 / np.where(diag != 0, diag, 1.0), 1.0)
+            rtol = _effective_rtol(self._solver_p.rtol, np.float32)
+            deg = int(opts.get("pallas_cheb_degree", 4))
+            lmin = lmax = 0.0
+            if deg > 0:
+                mv = po.make_matvec(self._ctx.sq, Ap_np)
+                invd_j = jnp.asarray(invd, jnp.float32)
+                lmin, lmax = po.estimate_eig_bounds(
+                    lambda v: invd_j * mv(v), len(invd), jnp.float32
+                )
+            self._pallas_p = po.make_pressure_cg(
+                self._ctx.sq,
+                Ap_np,
+                invd,
+                rtol=rtol,
+                maxiter=int(self._solver_p.maxiter),
+                cheb_degree=deg,
+                lmin=lmin,
+                lmax=lmax,
+            )
+            logger.info(
+                "pallas pressure solve enabled (cheb degree %d, lmax %.3g)", deg, lmax
+            )
+        except Exception as e:  # pragma: no cover - fallback path
+            logger.warning("pallas pressure kernel unavailable: %s", e)
+            self._pallas_p = None
+        try:
+            from .assembly import pallas_ops as po
+
+            d = self._mesh.dim
+            sm_v = self._ctx.sv
+            cells = sm_v[1]
+            nl = int(self._cu.M_c.shape[0])
+            # batch=1 kernels: a (d, nl, cells) VMEM block exceeds the 16 MB
+            # scoped limit (minor (37,37) dims pad ~3.5x), so components loop
+            # over per-vector kernels while the W einsum stays batched (the
+            # 136 MB weight stream is read once per matvec)
+            gv1 = po.make_gather_chunked(sm_v, batch=1)
+            sv1 = po.make_scatter_chunked(sm_v, batch=1)
+            M_c = self._cu.M_c
+            HI = jax.lax.Precision.HIGHEST
+
+            def gv(x):
+                return jnp.stack([gv1(x[b]) for b in range(d)])
+
+            def sv_k(Y):
+                return jnp.stack([sv1(Y[b]) for b in range(d)])
+
+            def massmv(x):
+                U = gv(x).reshape(d, nl, -1)
+                Y = jnp.einsum("ti,bic->btc", M_c, U, precision=HI)
+                return sv_k(Y.reshape((d, nl) + tuple(cells)))
+
+            def tentmv(W, x):
+                # W: (nl, nl, ncube) per-cube element matrices (A0 + 1/2 C)
+                U = gv(x).reshape(d, nl, -1)
+                Y = jnp.einsum("tic,bic->btc", W, U)
+                return sv_k(Y.reshape((d, nl) + tuple(cells)))
+
+            def rhsmv(W, x, two_over_dt):
+                # A_rhs u = (2/dt) M u - A_lhs u, sharing one gather/scatter
+                U = gv(x).reshape(d, nl, -1)
+                Y = two_over_dt * jnp.einsum(
+                    "ti,bic->btc", M_c, U, precision=HI
+                ) - jnp.einsum("tic,bic->btc", W, U)
+                return sv_k(Y.reshape((d, nl) + tuple(cells)))
+
+            self._pallas_gather = gv
+            self._pallas_mass = massmv
+            self._pallas_tent = tentmv
+            self._pallas_rhs = rhsmv
+            self._pallas_T = jnp.asarray(
+                po.conv_weight_tensor(self._cu), dtype=self._dtype
+            )
+            logger.info("pallas velocity kernels enabled")
+        except Exception as e:  # pragma: no cover - fallback path
+            logger.warning("pallas velocity kernels unavailable: %s", e)
+            self._pallas_tent = None
+            self._pallas_mass = None
 
     def _on_mesh(self, fn, out_spec, *args, arg_specs=()):
         """Run an engine function over the device mesh (shard_map, so psum
@@ -336,8 +449,8 @@ class FractionalStep_AB_CN:
         ctx = self._ctx
         d = self._mesh.dim
         ax = self._axis
-        if self._cu is not None:
-            # cube-matrix path: no per-cell element-matrix stacks at all
+        if self._co is not None:
+            # cube-matrix hot path: no per-cell element-matrix stacks at all
             cu = self._cu
             self._M_elems = self._K_elems = self._Ap_elems = self._Mq_elems = None
             self._M_diag = cub.diag_cube(cu.M_c, ctx.sv)
@@ -347,8 +460,14 @@ class FractionalStep_AB_CN:
             self._vol = float(jax.jit(eng.cell_volume_total)(ctx))
             self._Ap_diag = ap_diag
         else:
-            self._K_diag = None
-            self._Mq_diag = None
+            # the Pallas velocity path needs the stiffness/pressure-mass
+            # diagonals even when the conv hot path is off
+            if self._cu is not None:
+                self._K_diag = cub.diag_cube(self._cu.K_c, ctx.sv)
+                self._Mq_diag = cub.diag_cube(self._cu.Mq_c, ctx.sq)
+            else:
+                self._K_diag = None
+                self._Mq_diag = None
             cell2 = P(ax, None, None) if ax else None
             const_specs = (
                 dict(M=cell2, K=cell2, Ap=cell2, Mq=cell2, M_diag=P(), Ap_diag=P(), vol=P())
@@ -422,7 +541,7 @@ class FractionalStep_AB_CN:
         # in cube-matrix mode both strategies route through the shared cube
         # tables (identical results; the distinction is an implementation
         # detail of the general path)
-        if not self._low_memory and self._cu is None:
+        if not self._low_memory and self._co is None:
             mixed_spec = P(None, ax, None, None) if ax else None
             pg = self._on_mesh(eng.pressure_gradient_mats, mixed_spec)
             gp = self._on_mesh(eng.grad_p_mats, mixed_spec)
@@ -441,6 +560,7 @@ class FractionalStep_AB_CN:
         return dict(
             ctx=self._ctx,
             co=self._co,
+            cu=self._cu,
             K_diag=self._K_diag,
             Mq_diag=self._Mq_diag,
             fctxs=self._fctxs,
@@ -470,6 +590,7 @@ class FractionalStep_AB_CN:
         return dict(
             ctx=context_specs(self._ctx, ax),
             co=None,
+            cu=None,
             K_diag=None,
             Mq_diag=None,
             fctxs=[facet_specs(f, ax) for f in self._fctxs],
@@ -506,10 +627,29 @@ class FractionalStep_AB_CN:
         ctx = P["ctx"]
         uab = 1.5 * u1 - 0.5 * u2
         d = u1.shape[0]
+        if self._pallas_tent is not None:
+            # W[i,j,cube] = A0_lhs[i,j] + 1/2 sum_{g,m} u27[g,m,cube] T[(g,m),(i,j)]
+            cu_ = P["cu"]
+            nl = cu_.M_c.shape[0]
+            U = self._pallas_gather(uab).reshape(d, nl, -1)  # (d, nl, nc)
+            u27f = U.reshape(d * nl, -1)
+            Wc = jnp.einsum(
+                "tw,tc->wc", self._pallas_T, u27f,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            A0_lhs = (1.0 / dt) * cu_.M_c + 0.5 * nu * cu_.K_c
+            W = (A0_lhs.reshape(-1, 1) + 0.5 * Wc).reshape(nl, nl, -1)
+            # b_first = A_rhs u1 = (2/dt) M u1 - A_lhs u1  (A_rhs + A_lhs = (2/dt) M)
+            b_first = self._pallas_rhs(W, u1, 2.0 / dt) + P["b0"]
+            # uq for the Jacobi diagonal (Q-point convecting velocity)
+            uq = jnp.einsum("qm,gmc->gqc", cu_.Phi, U)
+            return uab, ((1.0 / dt, 0.5 * nu), W, uq), b_first
         if self._co is not None:
             co = P["co"]
-            uqg = cv.conv_uqg(co, uab)
-            b_first = cv.rhs_matvec(co, 1.0 / dt, -0.5 * nu, uqg, u1, ctx.axis)
+            uqg = cv.conv_uqg_exact(co, uab)
+            b_first = cv.tentative_matvec_exact(
+                co, P["cu"], 1.0 / dt, -0.5 * nu, uqg, u1, sign=-1.0, axis=ctx.axis
+            )
             b_first = b_first + P["b0"]
             return uab, ((1.0 / dt, 0.5 * nu), uqg), b_first
         C = eng.convection_elems(ctx, uab)
@@ -524,12 +664,19 @@ class FractionalStep_AB_CN:
 
     def _tentative_matvec(self, P: dict, A_lhs):
         ctx, mask0 = P["ctx"], P["bc_mask0"]
+        if self._pallas_tent is not None:
+            _, W, _uq = A_lhs
+
+            def mv(x):
+                return eng.apply_bc_rows(mask0, self._pallas_tent(W, x), x)
+
+            return mv
         if self._co is not None:
             co = P["co"]
             (a, b), uqg = A_lhs
 
             def mv(x):
-                y = cv.tentative_matvec(co, a, b, uqg, x, ctx.axis)
+                y = cv.tentative_matvec_exact(co, P["cu"], a, b, uqg, x, axis=ctx.axis)
                 return eng.apply_bc_rows(mask0, y, x)
 
             return mv
@@ -537,19 +684,26 @@ class FractionalStep_AB_CN:
 
     def _tentative_diag(self, P: dict, A_lhs):
         ctx = P["ctx"]
+        if self._pallas_tent is not None:
+            (a, b), _W, uq = A_lhs
+            return (
+                a * P["M_diag"]
+                + b * P["K_diag"]
+                + 0.5 * cub.conv_diag(P["cu"], uq, ctx.axis)
+            )
         if self._co is not None:
             (a, b), uqg = A_lhs
             return (
                 a * P["M_diag"]
                 + b * P["K_diag"]
-                + 0.5 * cv.conv_diag(P["co"], uqg, ctx.axis)
+                + 0.5 * cv.conv_diag_exact(P["co"], uqg, ctx.axis)
             )
         return eng.diagonal_v(ctx, A_lhs)
 
     def _tentative_assemble_dev(self, P: dict, b_first, ps):
         ctx = P["ctx"]
         if self._co is not None:
-            pv = cv.mixed_apply(ps, P["co"], P["co"].KB_s, ctx.axis)
+            pv = cv.mixed_exact(P["co"], P["cu"].B_c, ps, ctx.axis)
         elif self._low_memory:
             pv = eng.pressure_gradient_vecs(ctx, ps)
         else:
@@ -565,7 +719,7 @@ class FractionalStep_AB_CN:
         diag = jnp.where(P["bc_mask0"], 1.0, self._tentative_diag(P, A_lhs))
         M = jacobi_preconditioner(diag)
         s = self._solver_u
-        if self._co is not None:
+        if self._co is not None or self._pallas_tent is not None:
             # all components share each op (batched Krylov: one batched
             # matvec per iteration for the whole (d, n) block)
             rhs = jnp.where(P["bc_masks"], bc_vals, rhs1)
@@ -587,7 +741,7 @@ class FractionalStep_AB_CN:
     def _pressure_assemble_dev(self, P: dict, u, dt):
         ctx = P["ctx"]
         if self._co is not None:
-            b2 = cv.divergence(u, P["co"], ctx.axis)
+            b2 = cv.divergence_exact(P["co"], P["cu"], u, ctx.axis)
         elif self._low_memory:
             b2 = eng.divergence_vec(ctx, u)
         else:
@@ -613,7 +767,7 @@ class FractionalStep_AB_CN:
         else:
             if self._co is not None:
                 co = P["co"]
-                matvec = lambda x: cv.matvec(x, co.KAp_g, co.KS_q, co.sm_q, ctx.axis)
+                matvec = lambda x: cv.matvec_exact(x, P["cu"].Ap_c, co, "q", ctx.axis)
             else:
                 matvec = lambda x: eng.matvec_q(ctx, P["Ap"], x)
             nv = self._q_nullvec
@@ -621,17 +775,23 @@ class FractionalStep_AB_CN:
                 x0p = dp0 - jnp.mean(dp0)
             else:
                 x0p = dp0 - (jnp.vdot(nv, dp0) / jnp.vdot(nv, nv)) * nv
-            res = cg(
-                matvec,
-                b2,
-                x0=x0p,
-                M=M,
-                rtol=s.rtol,
-                atol=s.atol,
-                maxiter=s.maxiter,
-                project_nullspace=True,
-                nullvec=nv,
-            )
+            if self._pallas_p is not None:
+                from .la.krylov import KrylovResult
+
+                xp, itp, rp, cp = self._pallas_p(b2, x0p)
+                res = KrylovResult(xp, itp, rp, cp)
+            else:
+                res = cg(
+                    matvec,
+                    b2,
+                    x0=x0p,
+                    M=M,
+                    rtol=s.rtol,
+                    atol=s.atol,
+                    maxiter=s.maxiter,
+                    project_nullspace=True,
+                    nullvec=nv,
+                )
             # L2 (volume-weighted) zero mean, reference fracstep.py:579-591
             dp = res.x
             phi_avg = eng.integrate(ctx, eng.eval_q_at_qp(ctx, dp)) / self._vol
@@ -640,7 +800,7 @@ class FractionalStep_AB_CN:
             # ps = Proj_Q(p + dp - xi nu div u)   (fracstep.py:237-247,593-604)
             if self._co is not None:
                 co = P["co"]
-                mq_mv = lambda x: cv.matvec(x, co.KMq_g, co.KS_q, co.sm_q, ctx.axis)
+                mq_mv = lambda x: cv.matvec_exact(x, P["cu"].Mq_c, co, "q", ctx.axis)
                 mq_diag = P["Mq_diag"]
             else:
                 mq_mv = lambda x: eng.matvec_q(ctx, P["Mq"], x)
@@ -674,10 +834,20 @@ class FractionalStep_AB_CN:
 
     def _velocity_update_dev(self, P: dict, u, dp, dt):
         ctx = P["ctx"]
+        if self._pallas_mass is not None:
+            g = eng.grad_p_vecs(ctx, dp)
+            matvec = self._pallas_mass
+            M = jacobi_preconditioner(P["M_diag"])
+            sc = self._solver_c
+            b3 = matvec(u) - dt * g
+            res = cg_batched(
+                matvec, b3, x0=u, M=M, rtol=sc.rtol, atol=sc.atol, maxiter=sc.maxiter
+            )
+            return res.x, res.iters, res.converged
         if self._co is not None:
             co = P["co"]
-            g = cv.mixed_apply(dp, co, co.KG_s, ctx.axis)
-            matvec = lambda x: cv.matvec(x, co.KM_g, co.KS_v, co.sm_v, ctx.axis)
+            g = cv.mixed_exact(co, P["cu"].G_c, dp, ctx.axis)
+            matvec = lambda x: cv.matvec_exact(x, P["cu"].M_c, co, "v", ctx.axis)
             M = jacobi_preconditioner(P["M_diag"])
             sc = self._solver_c
             b3 = matvec(u) - dt * g
@@ -992,7 +1162,7 @@ class FractionalStep_AB_CN:
             raise RuntimeError("call assemble_first first")
         n = self._Vi[0][0].num_dofs
         cd = np.asarray(self._ctx.cd_v)
-        if self._cu is not None:
+        if self._co is not None or self._pallas_tent is not None:
             # materialize per-cell element matrices from the per-shape
             # constants (stored on CubeOps) + the general convection kernel
             uab = jnp.asarray(

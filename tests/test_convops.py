@@ -83,3 +83,60 @@ def test_convection(dim, N, du, dp):
     ref = np.asarray(cu.rhs_matvec_local(ops, A0, uq_ref, x))
     got = np.asarray(cv.rhs_matvec(co, a, b, uqg, x))
     assert np.allclose(got, ref, atol=1e-10)
+
+
+@pytest.mark.parametrize("dim,N,du,dp", CASES)
+def test_exact_ops(dim, N, du, dp):
+    """Exact-split indicator-conv path vs the cube engine."""
+    mesh, ctx, refs, ops, (sm_v, gf_v, _), (sm_q, gf_q, _) = setup(dim, N, du, dp)
+    E = cv.build_exact_ops(ops, np.float64)
+    rng = np.random.default_rng(9)
+    d = mesh.dim
+    x = jnp.asarray(_grid(rng.standard_normal(ctx.ndofs_v), gf_v, sm_v))
+    xq = jnp.asarray(_grid(rng.standard_normal(ctx.ndofs_q), gf_q, sm_q))
+    u = jnp.asarray(
+        np.stack([_grid(rng.standard_normal(ctx.ndofs_v), gf_v, sm_v) for _ in range(d)])
+    )
+
+    for C, space, vec, sm in [
+        (ops.M_c, "v", x, sm_v),
+        (ops.K_c, "v", x, sm_v),
+        (ops.Ap_c, "q", xq, sm_q),
+        (ops.Mq_c, "q", xq, sm_q),
+    ]:
+        ref = np.asarray(cu.matvec_cube(vec, C, sm))
+        got = np.asarray(cv.matvec_exact(vec, C, E, space))
+        assert np.allclose(got, ref, atol=1e-11), np.abs(got - ref).max()
+
+    ref = np.asarray(cu.divergence_cube(u, ops))
+    got = np.asarray(cv.divergence_exact(E, ops, u))
+    assert np.allclose(got, ref, atol=1e-11)
+
+    for C_all in (ops.B_c, ops.G_c):
+        ref = np.asarray(cu.mixed_all(xq, C_all, sm_v, sm_q))
+        got = np.asarray(cv.mixed_exact(E, C_all, xq))
+        assert np.allclose(got, ref, atol=1e-11)
+
+    uq_ref = cu.conv_uq(ops, u)
+    uqg = cv.conv_uqg_exact(E, u)
+    a, b = 7.0, 0.3
+    A0 = a * ops.M_c + b * ops.K_c
+    ref = np.asarray(cu.tentative_matvec_local(ops, A0, uq_ref, x))
+    got = np.asarray(cv.tentative_matvec_exact(E, ops, a, b, uqg, x))
+    assert np.allclose(got, ref, atol=1e-10), np.abs(got - ref).max()
+    ref = np.asarray(cu.rhs_matvec_local(ops, A0, uq_ref, x))
+    got = np.asarray(cv.tentative_matvec_exact(E, ops, a, b, uqg, x, sign=-1.0))
+    assert np.allclose(got, ref, atol=1e-10)
+
+    dref = np.asarray(cu.conv_diag(ops, uq_ref))
+    dgot = np.asarray(cv.conv_diag_exact(E, uqg))
+    assert np.allclose(dgot, dref, atol=1e-10)
+
+
+def test_split3_exact_f32():
+    rng = np.random.default_rng(10)
+    x = jnp.asarray(rng.standard_normal(1000).astype(np.float32) * 1e3)
+    parts = cv.split3(x)
+    assert parts.shape[0] == 3
+    back = np.asarray(parts[0] + parts[1] + parts[2])
+    assert np.array_equal(back, np.asarray(x))

@@ -1,0 +1,147 @@
+"""Pallas kernel correctness (interpret mode on CPU) vs cube/Krylov refs."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from oasisx_tpu.assembly import cubes as cu
+from oasisx_tpu.assembly import pallas_ops as po
+from oasisx_tpu.la import cg
+from tests.test_cubes import _grid, setup
+
+
+def test_matvec_kernel_v_and_q():
+    mesh, ctx, refs, ops, (sm_v, gf_v, _), (sm_q, gf_q, _) = setup(3, 3, 2, 1)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(_grid(rng.standard_normal(ctx.ndofs_v), gf_v, sm_v), jnp.float32)
+    xq = jnp.asarray(_grid(rng.standard_normal(ctx.ndofs_q), gf_q, sm_q), jnp.float32)
+
+    mv = po.make_matvec(sm_v, np.asarray(ops.M_c), interpret=True)
+    ref = np.asarray(cu.matvec_cube(x, ops.M_c.astype(jnp.float32), sm_v))
+    got = np.asarray(mv(x))
+    assert np.allclose(got, ref, atol=1e-4), np.abs(got - ref).max()
+
+    mvq = po.make_matvec(sm_q, np.asarray(ops.Ap_c), interpret=True)
+    ref = np.asarray(cu.matvec_cube(xq, ops.Ap_c.astype(jnp.float32), sm_q))
+    got = np.asarray(mvq(xq))
+    assert np.allclose(got, ref, atol=1e-4)
+
+    # batched
+    mvb = po.make_matvec(sm_v, np.asarray(ops.M_c), batch=2, interpret=True)
+    xb = jnp.stack([x, 2 * x])
+    got = np.asarray(mvb(xb))
+    assert np.allclose(got[1], 2 * np.asarray(mv(x)), atol=1e-4)
+
+
+@pytest.mark.parametrize("cheb", [0, 6])
+def test_pressure_cg_kernel(cheb):
+    mesh, ctx, refs, ops, _, (sm_q, gf_q, _) = setup(3, 4, 2, 1)
+    rng = np.random.default_rng(12)
+    n = int(np.prod(po._grid_shape(sm_q)))
+    Ap = np.asarray(ops.Ap_c)
+    diag = np.asarray(cu.diag_cube(ops.Ap_c, sm_q))
+    invd = np.where(diag != 0, 1.0 / np.where(diag != 0, diag, 1.0), 1.0)
+
+    mv = po.make_matvec(sm_q, Ap, interpret=True)
+    jmv = lambda v: jnp.asarray(invd, jnp.float32) * mv(v)
+    lmin, lmax = po.estimate_eig_bounds(jmv, n, jnp.float32)
+
+    solve = po.make_pressure_cg(
+        sm_q, Ap, invd, rtol=1e-6, maxiter=500, cheb_degree=cheb,
+        lmin=lmin, lmax=lmax, interpret=True,
+    )
+    b = rng.standard_normal(n).astype(np.float32)
+    b -= b.mean()
+    x, iters, res, conv = solve(jnp.asarray(b), jnp.zeros(n, jnp.float32))
+    assert bool(conv), (int(iters), float(res))
+    # compare against the XLA CG solution
+    ref = cg(
+        lambda v: cu.matvec_cube(v, ops.Ap_c.astype(jnp.float32), sm_q),
+        jnp.asarray(b),
+        M=lambda r: jnp.asarray(invd, jnp.float32) * r,
+        rtol=1e-6,
+        maxiter=500,
+        project_nullspace=True,
+    )
+    xr = np.asarray(ref.x)
+    xg = np.asarray(x)
+    scale = max(1.0, np.abs(xr).max())
+    assert np.abs(xg - xr).max() / scale < 5e-4, np.abs(xg - xr).max()
+
+
+def test_gather_scatter_and_staged_matvec():
+    """3-stage (gather kernel -> einsum -> scatter kernel) tentative matvec
+    vs the cube engine (interpret mode)."""
+    mesh, ctx, refs, ops, (sm_v, gf_v, _), _ = setup(3, 3, 2, 1)
+    rng = np.random.default_rng(13)
+    d = mesh.dim
+    nl = ops.M_c.shape[0]
+    cells = sm_v[1]
+    xs = np.stack(
+        [_grid(rng.standard_normal(ctx.ndofs_v), gf_v, sm_v) for _ in range(d)]
+    ).astype(np.float32)
+    x = jnp.asarray(xs)
+    gv = po.make_gather_chunked(sm_v, batch=d, interpret=True)
+    sv = po.make_scatter_chunked(sm_v, batch=d, interpret=True)
+
+    # gather matches cube_gather
+    U = np.asarray(gv(x)).reshape(d, nl, -1)
+    for g in range(d):
+        ref = np.asarray(cu.cube_gather(x[g], sm_v))
+        assert np.allclose(U[g], ref)
+
+    # scatter is the adjoint used by cube_scatter
+    Y = rng.standard_normal((d, nl) + tuple(cells)).astype(np.float32)
+    got = np.asarray(sv(jnp.asarray(Y)))
+    for g in range(d):
+        ref = np.asarray(cu.cube_scatter(jnp.asarray(Y[g].reshape(nl, -1)), sm_v))
+        assert np.allclose(got[g], ref, atol=1e-5)
+
+    # staged tentative matvec
+    uab = x
+    a, b = 5.0, 0.2
+    A0 = np.asarray(a * ops.M_c + b * ops.K_c, np.float32)
+    T = po.conv_weight_tensor(ops)
+    u27f = U.reshape(d * nl, -1)
+    Wc = jnp.asarray(T, jnp.float32).T @ jnp.asarray(u27f)
+    W = (jnp.asarray(A0.reshape(-1, 1)) + 0.5 * Wc).reshape(nl, nl, -1)
+    Uf = jnp.asarray(U)
+    Yt = jnp.einsum("tic,bic->btc", W, Uf)
+    got = np.asarray(sv(Yt.reshape((d, nl) + tuple(cells))))
+    uq = cu.conv_uq(ops, uab)
+    for g in range(d):
+        ref = np.asarray(
+            cu.tentative_matvec_local(ops, jnp.asarray(A0), uq, x[g])
+        )
+        assert np.allclose(got[g], ref, atol=2e-4), np.abs(got[g] - ref).max()
+
+
+def test_tent_matvec_hbm():
+    """HBM-streamed fused tentative matvec vs the cube engine (interpret)."""
+    mesh, ctx, refs, ops, (sm_v, gf_v, _), _ = setup(3, 3, 2, 1)
+    rng = np.random.default_rng(14)
+    d = mesh.dim
+    nl = ops.M_c.shape[0]
+    cells = sm_v[1]
+    x = jnp.asarray(_grid(rng.standard_normal(ctx.ndofs_v), gf_v, sm_v), jnp.float32)
+    uab = jnp.asarray(
+        np.stack([
+            _grid(rng.standard_normal(ctx.ndofs_v), gf_v, sm_v) for _ in range(d)
+        ]),
+        jnp.float32,
+    )
+    a, b = 5.0, 0.2
+    A0 = np.asarray(a * ops.M_c + b * ops.K_c, np.float32)
+    T = po.conv_weight_tensor(ops)
+    u27 = jnp.stack([cu.cube_gather(uab[g], sm_v) for g in range(d)]).reshape(
+        d * nl, -1
+    )
+    Wc = jnp.asarray(T, jnp.float32).T @ u27
+    W = po.pad_weights(jnp.asarray(A0.reshape(-1, 1)) + 0.5 * Wc, sm_v)
+    mv = po.make_tent_matvec_hbm(sm_v, interpret=True)
+    got = np.asarray(mv(W, x))
+    uq = cu.conv_uq(ops, uab)
+    ref = np.asarray(cu.tentative_matvec_local(ops, jnp.asarray(A0), uq, x))
+    assert np.allclose(got, ref, atol=2e-4), np.abs(got - ref).max()

@@ -32,7 +32,7 @@ def _build(cube):
 def test_cube_path_matches_elems_path():
     s_cu = _build(True)
     s_el = _build(False)
-    assert s_cu._cu is not None and s_el._cu is None
+    assert s_cu._co is not None and s_el._co is None
     for _ in range(2):
         s_cu.solve(0.02, 0.05, max_iter=2)
         s_el.solve(0.02, 0.05, max_iter=2)
