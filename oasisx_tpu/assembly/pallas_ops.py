@@ -495,3 +495,88 @@ def pad_weights(W_flat: jax.Array, sm: StructuredMap) -> jax.Array:
     W = W_flat.reshape((nl, nl) + tuple(cells))
     pads = [(0, 0), (0, 0)] + [(0, pcells[k] - cells[k]) for k in range(d)]
     return jnp.pad(W, pads)
+
+
+def make_cg_step(sm: StructuredMap, C: np.ndarray, interpret: bool = False):
+    """ONE preconditioned-CG iteration as a single kernel (Jacobi precond,
+    cube-matrix operator baked as constants). State rides input/output refs
+    (which do not count against the scoped-VMEM stack — only scratch does),
+    so this works on the large velocity grid where a whole-solve kernel
+    cannot hold its state.
+
+    fn(x, r, p, invd, rz) -> (x', r', p', rz', rnorm')  [flat vectors]."""
+    gshape = _grid_shape(sm)
+    npad = int(np.prod(gshape))
+    C = np.asarray(C, dtype=np.float64)
+
+    def kernel(x_ref, r_ref, p_ref, invd_ref, rz_ref,
+               xo_ref, ro_ref, po_ref, rzo_ref, rn_ref, Ap_s):
+        Ap_s[:] = jnp.zeros_like(Ap_s)
+        _matvec_body(p_ref, Ap_s, C, sm)
+        p = p_ref[:]
+        Apv = Ap_s[:]
+        rz = rz_ref[0]
+        pAp = jnp.sum(p * Apv)
+        alpha = rz / jnp.where(pAp != 0, pAp, 1.0)
+        xo_ref[:] = x_ref[:] + alpha * p
+        r_new = r_ref[:] - alpha * Apv
+        ro_ref[:] = r_new
+        z = invd_ref[:] * r_new
+        rz_new = jnp.sum(r_new * z)
+        beta = rz_new / jnp.where(rz != 0, rz, 1.0)
+        po_ref[:] = z + beta * p
+        rzo_ref[0] = rz_new
+        rn_ref[0] = jnp.sqrt(jnp.sum(r_new * r_new))
+
+    @jax.jit
+    def step(x, r, p, invd, rz):
+        xo, ro, po, rzo, rn = pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct(gshape, x.dtype),
+                jax.ShapeDtypeStruct(gshape, x.dtype),
+                jax.ShapeDtypeStruct(gshape, x.dtype),
+                jax.ShapeDtypeStruct((1,), x.dtype),
+                jax.ShapeDtypeStruct((1,), x.dtype),
+            ),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
+            + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ),
+            scratch_shapes=[pltpu.VMEM(gshape, x.dtype)],
+            interpret=interpret,
+        )(x.reshape(gshape), r.reshape(gshape), p.reshape(gshape),
+          invd.reshape(gshape), rz.reshape(1))
+        return xo.reshape(-1), ro.reshape(-1), po.reshape(-1), rzo, rn
+
+    return step
+
+
+def cg_solve_stepped(step_fn, matvec, b, x0, invd_flat, rtol, maxiter):
+    """Preconditioned CG driven by the one-iteration kernel: the XLA
+    while_loop carries (x, r, p, rz, k, rnorm) and the body is ONE op."""
+    bnorm = jnp.sqrt(jnp.sum(b * b))
+    tol = jnp.maximum(rtol * bnorm, 1e-50)
+    r0 = b - matvec(x0)
+    z0 = invd_flat * r0
+    rz0 = jnp.sum(r0 * z0).reshape(1)
+    rn0 = jnp.sqrt(jnp.sum(r0 * r0))
+
+    def cond(c):
+        x, r, p, rz, k, rn = c
+        return (rn > tol) & (k < maxiter)
+
+    def body(c):
+        x, r, p, rz, k, rn = c
+        xo, ro, po, rzo, rno = step_fn(x, r, p, invd_flat, rz)
+        return (xo, ro, po, rzo, k + 1, rno[0])
+
+    x, r, p, rz, k, rn = jax.lax.while_loop(
+        cond, body, (x0, r0, z0, rz0, jnp.int32(0), rn0)
+    )
+    return x, k, rn, rn <= tol

@@ -323,12 +323,19 @@ class FractionalStep_AB_CN:
         self._pallas_p = None
         self._pallas_tent = None
         self._pallas_mass = None
+        self._pallas_cg_step = None
         opts = options or {}
+        # NOTE: jax.default_backend() stays 'tpu' inside a
+        # jax.default_device(cpu) scope, so probe the actual placement
+        try:
+            platform = jnp.zeros(1).devices().pop().platform
+        except Exception:
+            platform = jax.default_backend()
         if (
             self._cu is None
             or self._have_pbc
             or self._dtype != jnp.float32
-            or jax.default_backend() == "cpu"
+            or platform in ("cpu",)
             or not opts.get("pallas", True)
         ):
             return
@@ -412,6 +419,18 @@ class FractionalStep_AB_CN:
             self._pallas_mass = massmv
             self._pallas_tent = tentmv
             self._pallas_rhs = rhsmv
+            # one-op-per-iteration CG for the velocity-update mass solves
+            self._pallas_cg_step = po.make_cg_step(
+                sm_v, np.asarray(self._cu.M_c, np.float64)
+            )
+            self._pallas_mass1 = po.make_matvec(
+                sm_v, np.asarray(self._cu.M_c, np.float64)
+            )
+            md = np.asarray(self._M_diag)
+            self._pallas_m_invd = jnp.asarray(
+                np.where(md != 0, 1.0 / np.where(md != 0, md, 1.0), 1.0),
+                dtype=self._dtype,
+            )
             self._pallas_T = jnp.asarray(
                 po.conv_weight_tensor(self._cu), dtype=self._dtype
             )
@@ -834,6 +853,29 @@ class FractionalStep_AB_CN:
 
     def _velocity_update_dev(self, P: dict, u, dp, dt):
         ctx = P["ctx"]
+        if self._pallas_cg_step is not None:
+            from .assembly import pallas_ops as po
+            from .la.krylov import _effective_rtol
+
+            g = eng.grad_p_vecs(ctx, dp)
+            sc = self._solver_c
+            rtol = _effective_rtol(sc.rtol, np.float32)
+            us, iters, conv = [], [], []
+            for i in range(self._mesh.dim):
+                b3 = self._pallas_mass1(u[i]) - dt * g[i]
+                x, k, rn, ok = po.cg_solve_stepped(
+                    self._pallas_cg_step,
+                    self._pallas_mass1,
+                    b3,
+                    u[i],
+                    self._pallas_m_invd,
+                    rtol,
+                    int(sc.maxiter),
+                )
+                us.append(x)
+                iters.append(k)
+                conv.append(ok)
+            return jnp.stack(us), jnp.stack(iters), jnp.stack(conv)
         if self._pallas_mass is not None:
             g = eng.grad_p_vecs(ctx, dp)
             matvec = self._pallas_mass

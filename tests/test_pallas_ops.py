@@ -145,3 +145,27 @@ def test_tent_matvec_hbm():
     uq = cu.conv_uq(ops, uab)
     ref = np.asarray(cu.tentative_matvec_local(ops, jnp.asarray(A0), uq, x))
     assert np.allclose(got, ref, atol=2e-4), np.abs(got - ref).max()
+
+
+def test_cg_step_kernel():
+    """One-iteration CG kernel solves the V mass system (interpret mode)."""
+    mesh, ctx, refs, ops, (sm_v, gf_v, _), _ = setup(3, 3, 2, 1)
+    rng = np.random.default_rng(15)
+    n = int(np.prod(po._grid_shape(sm_v)))
+    M_c = np.asarray(ops.M_c)
+    diag = np.asarray(cu.diag_cube(ops.M_c, sm_v))
+    invd = jnp.asarray(
+        np.where(diag != 0, 1.0 / np.where(diag != 0, diag, 1.0), 1.0), jnp.float32
+    )
+    x_true = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    # restrict to valid dofs: use b = M x_true (consistent rhs)
+    mv = po.make_matvec(sm_v, M_c, interpret=True)
+    b = mv(x_true)
+    step = po.make_cg_step(sm_v, M_c, interpret=True)
+    x, k, rn, conv = po.cg_solve_stepped(
+        step, mv, b, jnp.zeros_like(b), invd, rtol=1e-6, maxiter=200
+    )
+    assert bool(conv), (int(k), float(rn))
+    # solution matches on valid dofs (padding slots have zero rows)
+    err = np.abs(np.asarray(mv(x) - b)).max()
+    assert err < 1e-4, err
