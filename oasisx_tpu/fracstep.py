@@ -156,9 +156,59 @@ class FractionalStep_AB_CN:
         self._gridflat_q = None
         self._q_nullvec = None
         self._cu = None
+        self._slab = None
         opts_early = options or {}
+        # owned-dof slab sharding (parallel/slab.py, VERDICT r1 item 2):
+        # sharded + structured + no outlet + non-rotational runs keep the
+        # cube fast path per shard with ppermute halo exchange instead of
+        # falling back to the replicated general path
         if (
             mesh.structured is not None
+            and device_mesh is not None
+            and not bcs_p
+            and not rotational
+            and opts_early.get("structured", True)
+            and opts_early.get("slab", True)
+        ):
+            from .assembly.structured import build_structured_map as _bsm
+
+            rv = _bsm(mesh, el_u, Vi0.dofmap)
+            rq = _bsm(mesh, el_p, self._Q.dofmap)
+            if rv is not None and rq is not None:
+                from .parallel.slab import build_slab
+
+                ndev = int(np.prod(device_mesh.devices.shape))
+                try:
+                    (sv, gf_v, valid_v), (sq, gf_q, valid_q) = rv, rq
+                    info = build_slab(sv, gf_v, sq, gf_q, ndev)
+                    self._slab = info
+                    self._slab_axis = device_mesh.axis_names[0]
+                    self._gridflat_v = gf_v
+                    self._gridflat_q = gf_q
+                    self._sm_v_grid, self._sm_q_grid = sv, sq
+                    self._cu = cub.build_cube_ops(
+                        mesh, self._refs, sv, sq, dtype=self._dtype
+                    )
+                    if self._cu is None:
+                        self._slab = None
+                    else:
+                        logger.info(
+                            "slab sharding enabled: %d shards x %d cube-planes",
+                            ndev, info.planes_per_dev["v"],
+                        )
+                except ValueError as e:
+                    logger.info("slab sharding unavailable (%s); replicated path", e)
+                    self._slab = None
+        if self._slab is not None:
+            nv_slab = self._slab.ndev * self._slab.npad_v_loc
+            nq_slab = self._slab.ndev * self._slab.npad_q_loc
+            self._npad_v, self._npad_q = nv_slab, nq_slab
+            self._q_nullvec = jnp.asarray(
+                self._slab.valid_q.astype(np.float64), dtype=self._dtype
+            )
+        if (
+            self._slab is None
+            and mesh.structured is not None
             and device_mesh is None
             and not bcs_p
             and opts_early.get("structured", True)
@@ -200,7 +250,7 @@ class FractionalStep_AB_CN:
             if (self._cu is not None and bool(_cube_flag))
             else None
         )
-        if device_mesh is not None:
+        if device_mesh is not None and self._slab is None:
             from .parallel.sharding import shard_problem
 
             (self._axis, self._ctx, self._fctxs, self._cells_per_shard) = shard_problem(
@@ -234,9 +284,14 @@ class FractionalStep_AB_CN:
         self._A_elems = None  # set by assemble_first (split-phase API)
         self.last_stats: dict = {}
 
-    # --- canonical <-> grid dof-order conversion (structured path) --------
+    # --- canonical <-> internal dof-order conversion (structured/slab) -----
     def _pv(self, arr: np.ndarray) -> np.ndarray:
-        """Canonical V dof order -> internal (padded parity-grid) order."""
+        """Canonical V dof order -> internal order (padded parity-grid, or
+        slab-flat with zeroed halo slots in sharded slab mode)."""
+        if self._slab is not None:
+            out = np.zeros(arr.shape[:-1] + (self._npad_v,), dtype=arr.dtype)
+            out[..., self._slab.perm_v] = arr
+            return out
         if self._gridflat_v is None:
             return arr
         out = np.zeros(arr.shape[:-1] + (self._npad_v,), dtype=arr.dtype)
@@ -244,11 +299,17 @@ class FractionalStep_AB_CN:
         return out
 
     def _uv(self, arr: np.ndarray) -> np.ndarray:
+        if self._slab is not None:
+            return arr[..., self._slab.perm_v]
         if self._gridflat_v is None:
             return arr
         return arr[..., self._gridflat_v]
 
     def _pq(self, arr: np.ndarray) -> np.ndarray:
+        if self._slab is not None:
+            out = np.zeros(arr.shape[:-1] + (self._npad_q,), dtype=arr.dtype)
+            out[..., self._slab.perm_q] = arr
+            return out
         if self._gridflat_q is None:
             return arr
         out = np.zeros(arr.shape[:-1] + (self._npad_q,), dtype=arr.dtype)
@@ -256,9 +317,20 @@ class FractionalStep_AB_CN:
         return out
 
     def _uq(self, arr: np.ndarray) -> np.ndarray:
+        if self._slab is not None:
+            return arr[..., self._slab.perm_q]
         if self._gridflat_q is None:
             return arr
         return arr[..., self._gridflat_q]
+
+    def _grid_to_slab(self, arr: np.ndarray, space: str) -> np.ndarray:
+        """Single-device grid-layout constant -> slab layout (halos zero)."""
+        info = self._slab
+        g2s = info.grid_to_slab_v if space == "v" else info.grid_to_slab_q
+        n = self._npad_v if space == "v" else self._npad_q
+        out = np.zeros(arr.shape[:-1] + (n,), dtype=arr.dtype)
+        out[..., g2s] = arr
+        return out
 
     # ------------------------------------------------------------------
     # setup
@@ -333,6 +405,7 @@ class FractionalStep_AB_CN:
             platform = jax.default_backend()
         if (
             self._cu is None
+            or self._slab is not None
             or self._have_pbc
             or self._dtype != jnp.float32
             or platform in ("cpu",)
@@ -468,7 +541,35 @@ class FractionalStep_AB_CN:
         ctx = self._ctx
         d = self._mesh.dim
         ax = self._axis
-        if self._co is not None:
+        if self._slab is not None:
+            # constants computed once in the single-device grid layout, then
+            # permuted into the slab layout (halo slots zero)
+            cu = self._cu
+            smv, smq = self._sm_v_grid, self._sm_q_grid
+            g2s = self._grid_to_slab
+            self._M_elems = self._K_elems = self._Ap_elems = self._Mq_elems = None
+            self._M_diag = jnp.asarray(
+                g2s(np.asarray(cub.diag_cube(cu.M_c, smv)), "v"), self._dtype
+            )
+            self._K_diag = jnp.asarray(
+                g2s(np.asarray(cub.diag_cube(cu.K_c, smv)), "v"), self._dtype
+            )
+            self._Mq_diag = jnp.asarray(
+                g2s(np.asarray(cub.diag_cube(cu.Mq_c, smq)), "q"), self._dtype
+            )
+            self._Ap_diag = jnp.asarray(
+                g2s(np.asarray(cub.diag_cube(cu.Ap_c, smq)), "q"), self._dtype
+            )
+            self._vol = float(jax.jit(eng.cell_volume_total)(ctx))
+            # integration weights for the volume-weighted pressure mean:
+            # w = Mq 1 so that  integral(p) = <w, p>
+            ones_g = np.zeros(int(np.prod(smq[0])))
+            valid_grid = np.zeros(int(np.prod(smq[0])), dtype=bool)
+            valid_grid[self._gridflat_q] = True
+            ones_g[valid_grid] = 1.0
+            w_g = np.asarray(cub.matvec_cube(jnp.asarray(ones_g), cu.Mq_c, smq))
+            self._intw = jnp.asarray(g2s(w_g, "q"), self._dtype)
+        elif self._co is not None:
             # cube-matrix hot path: no per-cell element-matrix stacks at all
             cu = self._cu
             self._M_elems = self._K_elems = self._Ap_elems = self._Mq_elems = None
@@ -553,6 +654,8 @@ class FractionalStep_AB_CN:
                         )
                     )
                 )
+            if self._slab is not None:
+                b0[i] = self._pv(np.asarray(b0[i]))
             self._b0[i].x.array[:] = self._uv(b0[i])
         self._b0_dev = jnp.asarray(np.stack(b0), dtype=self._dtype)
 
@@ -560,7 +663,7 @@ class FractionalStep_AB_CN:
         # in cube-matrix mode both strategies route through the shared cube
         # tables (identical results; the distinction is an implementation
         # detail of the general path)
-        if not self._low_memory and self._co is None:
+        if not self._low_memory and self._co is None and self._slab is None:
             mixed_spec = P(None, ax, None, None) if ax else None
             pg = self._on_mesh(eng.pressure_gradient_mats, mixed_spec)
             gp = self._on_mesh(eng.grad_p_mats, mixed_spec)
@@ -576,6 +679,19 @@ class FractionalStep_AB_CN:
     # params pytree handed to the (possibly shard_mapped) step program
     # ------------------------------------------------------------------
     def _params(self) -> dict:
+        if self._slab is not None:
+            return dict(
+                cu=self._cu,
+                M_diag=self._M_diag,
+                K_diag=self._K_diag,
+                Mq_diag=self._Mq_diag,
+                Ap_diag=self._Ap_diag,
+                b0=self._b0_dev,
+                bc_masks=self._bc_masks,
+                bc_mask0=self._bc_mask0,
+                q_null=self._q_nullvec,
+                intw=self._intw,
+            )
         return dict(
             ctx=self._ctx,
             co=self._co,
@@ -596,6 +712,24 @@ class FractionalStep_AB_CN:
             p_vdxi=self._p_vdxi_elems,
             divu=self._divu_elems,
             grad_p=self._grad_p_elems,
+        )
+
+    def _param_specs_slab(self):
+        from jax.sharding import PartitionSpec as P
+
+        ax = self._slab_axis
+        rep = jax.tree_util.tree_map(lambda _: P(), self._cu)
+        return dict(
+            cu=rep,
+            M_diag=P(ax),
+            K_diag=P(ax),
+            Mq_diag=P(ax),
+            Ap_diag=P(ax),
+            b0=P(None, ax),
+            bc_masks=P(None, ax),
+            bc_mask0=P(ax),
+            q_null=P(ax),
+            intw=P(ax),
         )
 
     def _param_specs(self):
@@ -643,6 +777,24 @@ class FractionalStep_AB_CN:
         return out
 
     def _assemble_first_dev(self, P: dict, u1, u2, dt, nu, h_qvals):
+        if self._slab is not None:
+            from .parallel import slab as sl
+
+            uab = 1.5 * u1 - 0.5 * u2
+            d = u1.shape[0]
+            info, ax = self._slab, self._slab_axis
+            cu_ = P["cu"]
+            uq = sl.conv_uq_slab(cu_, uab, info.sm_v_loc, ax)
+            A0_rhs = (1.0 / dt) * cu_.M_c - 0.5 * nu * cu_.K_c
+            A0_lhs = (1.0 / dt) * cu_.M_c + 0.5 * nu * cu_.K_c
+            b_first = jnp.stack(
+                [
+                    sl.rhs_matvec_slab(cu_, A0_rhs, uq, u1[i], info.sm_v_loc, ax)
+                    for i in range(d)
+                ]
+            )
+            b_first = b_first + P["b0"]
+            return uab, (A0_lhs, uq), b_first
         ctx = P["ctx"]
         uab = 1.5 * u1 - 0.5 * u2
         d = u1.shape[0]
@@ -682,6 +834,24 @@ class FractionalStep_AB_CN:
         return uab, A_lhs, b_first
 
     def _tentative_matvec(self, P: dict, A_lhs):
+        if self._slab is not None:
+            from .parallel import slab as sl
+
+            info, ax = self._slab, self._slab_axis
+            cu_ = P["cu"]
+            mask0 = P["bc_mask0"]
+            A0, uq = A_lhs
+
+            def mv(x):
+                y = jnp.stack(
+                    [
+                        sl.tentative_matvec_slab(cu_, A0, uq, x[i], info.sm_v_loc, ax)
+                        for i in range(x.shape[0])
+                    ]
+                )
+                return eng.apply_bc_rows(mask0, y, x)
+
+            return mv
         ctx, mask0 = P["ctx"], P["bc_mask0"]
         if self._pallas_tent is not None:
             _, W, _uq = A_lhs
@@ -702,6 +872,13 @@ class FractionalStep_AB_CN:
         return lambda x: eng.apply_bc_rows(mask0, eng.matvec_v(ctx, A_lhs, x), x)
 
     def _tentative_diag(self, P: dict, A_lhs):
+        if self._slab is not None:
+            from .parallel import slab as sl
+
+            info, ax = self._slab, self._slab_axis
+            A0, uq = A_lhs
+            dA0 = sl.diag_cube_slab(A0, info.sm_v_loc, ax)
+            return dA0 + 0.5 * sl.conv_diag_slab(P["cu"], uq, info.sm_v_loc, ax)
         ctx = P["ctx"]
         if self._pallas_tent is not None:
             (a, b), _W, uq = A_lhs
@@ -720,6 +897,12 @@ class FractionalStep_AB_CN:
         return eng.diagonal_v(ctx, A_lhs)
 
     def _tentative_assemble_dev(self, P: dict, b_first, ps):
+        if self._slab is not None:
+            from .parallel import slab as sl
+
+            info, ax = self._slab, self._slab_axis
+            pv = sl.mixed_all_slab(ps, P["cu"].B_c, info.sm_v_loc, info.sm_q_loc, ax)
+            return b_first + pv
         ctx = P["ctx"]
         if self._co is not None:
             pv = cv.mixed_exact(P["co"], P["cu"].B_c, ps, ctx.axis)
@@ -733,18 +916,24 @@ class FractionalStep_AB_CN:
 
     def _tentative_solve_dev(self, P: dict, A_lhs, rhs1, bc_vals, u):
         """Solve per component; returns (u_new, diff, iters, converged)."""
-        ctx = P["ctx"]
         matvec = self._tentative_matvec(P, A_lhs)
         diag = jnp.where(P["bc_mask0"], 1.0, self._tentative_diag(P, A_lhs))
         M = jacobi_preconditioner(diag)
         s = self._solver_u
-        if self._co is not None or self._pallas_tent is not None:
+        if self._co is not None or self._pallas_tent is not None or self._slab is not None:
             # all components share each op (batched Krylov: one batched
             # matvec per iteration for the whole (d, n) block)
             rhs = jnp.where(P["bc_masks"], bc_vals, rhs1)
             solver = cg_batched if s.method == "cg" else bicgstab_batched
-            res = solver(matvec, rhs, x0=u, M=M, rtol=s.rtol, atol=s.atol, maxiter=s.maxiter)
-            diff = jnp.sum(jnp.sqrt(jnp.sum((res.x - u) ** 2, axis=-1)))
+            res = solver(
+                matvec, rhs, x0=u, M=M, rtol=s.rtol, atol=s.atol,
+                maxiter=s.maxiter,
+                axis=None if self._slab is None else self._slab_axis,
+            )
+            row2 = jnp.sum((res.x - u) ** 2, axis=-1)
+            if self._slab is not None:
+                row2 = jax.lax.psum(row2, self._slab_axis)
+            diff = jnp.sum(jnp.sqrt(row2))
             return res.x, diff, res.iters, res.converged
         us, iters, conv, diff = [], [], [], 0.0
         for i in range(self._mesh.dim):
@@ -758,6 +947,12 @@ class FractionalStep_AB_CN:
         return jnp.stack(us), diff, jnp.stack(iters), jnp.stack(conv)
 
     def _pressure_assemble_dev(self, P: dict, u, dt):
+        if self._slab is not None:
+            from .parallel import slab as sl
+
+            info, ax = self._slab, self._slab_axis
+            b2 = sl.divergence_slab(u, P["cu"], info.sm_v_loc, info.sm_q_loc, ax)
+            return -(1.0 / dt) * b2
         ctx = P["ctx"]
         if self._co is not None:
             b2 = cv.divergence_exact(P["co"], P["cu"], u, ctx.axis)
@@ -773,6 +968,34 @@ class FractionalStep_AB_CN:
         return b2
 
     def _pressure_solve_dev(self, P: dict, b2, p, dp0, u, nu):
+        if self._slab is not None:
+            from .parallel import slab as sl
+
+            info, ax = self._slab, self._slab_axis
+            s = self._solver_p
+            cu_ = P["cu"]
+            nv = P["q_null"]
+            M = jacobi_preconditioner(P["Ap_diag"])
+            ee = jax.lax.psum(jnp.vdot(nv, nv), ax)
+            x0p = dp0 - (jax.lax.psum(jnp.vdot(nv, dp0), ax) / ee) * nv
+            res = cg(
+                lambda x: sl.matvec_cube_slab(x, cu_.Ap_c, info.sm_q_loc, ax),
+                b2,
+                x0=x0p,
+                M=M,
+                rtol=s.rtol,
+                atol=s.atol,
+                maxiter=s.maxiter,
+                project_nullspace=True,
+                nullvec=nv,
+                axis=ax,
+            )
+            dp = res.x
+            # L2 (volume-weighted) zero mean (fracstep.py:579-591)
+            phi_avg = jax.lax.psum(jnp.vdot(P["intw"], dp), ax) / self._vol
+            dp = dp - phi_avg * nv
+            ps = p + dp
+            return dp, ps, res.iters, res.converged
         ctx = P["ctx"]
         s = self._solver_p
         if self._mg is not None and not self._have_pbc:
@@ -852,6 +1075,22 @@ class FractionalStep_AB_CN:
         return out
 
     def _velocity_update_dev(self, P: dict, u, dp, dt):
+        if self._slab is not None:
+            from .parallel import slab as sl
+
+            info, ax = self._slab, self._slab_axis
+            cu_ = P["cu"]
+            g = sl.mixed_all_slab(dp, cu_.G_c, info.sm_v_loc, info.sm_q_loc, ax)
+            mv1 = lambda xx: sl.matvec_cube_slab(xx, cu_.M_c, info.sm_v_loc, ax)
+            matvec = lambda x: jnp.stack([mv1(x[i]) for i in range(x.shape[0])])
+            M = jacobi_preconditioner(P["M_diag"])
+            sc = self._solver_c
+            b3 = matvec(u) - dt * g
+            res = cg_batched(
+                matvec, b3, x0=u, M=M, rtol=sc.rtol, atol=sc.atol,
+                maxiter=sc.maxiter, axis=ax,
+            )
+            return res.x, res.iters, res.converged
         ctx = P["ctx"]
         if self._pallas_cg_step is not None:
             from .assembly import pallas_ops as po
@@ -951,6 +1190,36 @@ class FractionalStep_AB_CN:
         return new_state, stats
 
     def _build_step(self) -> None:
+        if self._slab is not None:
+            from jax.sharding import PartitionSpec as Pspec
+
+            ax = self._slab_axis
+            state_specs = dict(
+                u=Pspec(None, ax), u1=Pspec(None, ax), u2=Pspec(None, ax),
+                p=Pspec(ax), dp=Pspec(ax),
+            )
+
+            def raw_step(P, state, dt, nu, bc_vals, h_qvals, max_error, max_iter):
+                fn = lambda P, state, dt, nu, bc_vals, max_error: self._step_impl(
+                    P, state, dt, nu, bc_vals, [], max_error, max_iter
+                )
+                return jax.shard_map(
+                    fn,
+                    mesh=self._device_mesh,
+                    in_specs=(
+                        self._param_specs_slab(),
+                        state_specs,
+                        Pspec(),
+                        Pspec(),
+                        Pspec(None, ax),
+                        Pspec(),
+                    ),
+                    out_specs=(state_specs, Pspec()),
+                )(P, state, dt, nu, bc_vals, max_error)
+
+            self._raw_step = raw_step
+            self._step_fn = jax.jit(self._raw_step, static_argnames=("max_iter",))
+            return
         if self._axis is None:
             self._raw_step = self._step_impl
         else:

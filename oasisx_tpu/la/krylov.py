@@ -42,6 +42,20 @@ def _identity(x):
     return x
 
 
+def _make_reducers(axis):
+    """(vdot, norm) that psum across a shard_map axis when given — the
+    owned-dof sharded path keeps halo slots zeroed, so local dots over the
+    full local arrays + a scalar psum give the global reductions
+    (SURVEY L0: the Krylov-internal allreduces of the reference)."""
+    if axis is None:
+        return jnp.vdot, jnp.linalg.norm
+    def vdot(a, b):
+        return jax.lax.psum(jnp.vdot(a, b), axis)
+    def norm(v):
+        return jnp.sqrt(jax.lax.psum(jnp.sum(v * v), axis))
+    return vdot, norm
+
+
 _warned_rtol_clamps: set = set()
 
 
@@ -81,6 +95,7 @@ def cg(
     maxiter: int = 1000,
     project_nullspace: bool = False,
     nullvec: jax.Array | None = None,
+    axis: str | None = None,
 ) -> KrylovResult:
     """Preconditioned conjugate gradients for SPD operators.
 
@@ -93,26 +108,31 @@ def cg(
     M = M or _identity
     x0 = jnp.zeros_like(b) if x0 is None else x0
     rtol = _effective_rtol(rtol, b.dtype)
+    _vdot, _norm = _make_reducers(axis)
 
     if nullvec is not None:
-        _ee = jnp.vdot(nullvec, nullvec)
+        _ee = _vdot(nullvec, nullvec)
 
     def demean(v):
         if not project_nullspace:
             return v
         if nullvec is not None:
-            return v - (jnp.vdot(nullvec, v) / _ee) * nullvec
-        return v - jnp.mean(v)
+            return v - (_vdot(nullvec, v) / _ee) * nullvec
+        if axis is None:
+            return v - jnp.mean(v)
+        tot = jax.lax.psum(jnp.sum(v), axis)
+        cnt = jax.lax.psum(jnp.asarray(v.size, v.dtype), axis)
+        return v - tot / cnt
 
     b = demean(b)
-    bnorm = jnp.linalg.norm(b)
+    bnorm = _norm(b)
     tol = jnp.maximum(rtol * bnorm, atol)
 
     r = demean(b - A(x0))
     z = M(r)
     p = z
-    rz = jnp.vdot(r, z)
-    rnorm = jnp.linalg.norm(r)
+    rz = _vdot(r, z)
+    rnorm = _norm(r)
 
     def cond(state):
         x, r, z, p, rz, k, rnorm, brk = state
@@ -121,17 +141,17 @@ def cg(
     def body(state):
         x, r, z, p, rz, k, rnorm, brk = state
         Ap = demean(A(p))
-        pAp = jnp.vdot(p, Ap)
+        pAp = _vdot(p, Ap)
         brk = brk | (pAp == 0)
         alpha = rz / jnp.where(pAp != 0, pAp, 1.0)
         x = x + alpha * p
         r = r - alpha * Ap
         z = M(r)
-        rz_new = jnp.vdot(r, z)
+        rz_new = _vdot(r, z)
         brk = brk | (rz == 0)
         beta = rz_new / jnp.where(rz != 0, rz, 1.0)
         p = z + beta * p
-        return (x, r, z, p, rz_new, k + 1, jnp.linalg.norm(r), brk)
+        return (x, r, z, p, rz_new, k + 1, _norm(r), brk)
 
     x, r, z, p, rz, k, rnorm, brk = jax.lax.while_loop(
         cond, body, (x0, r, z, p, rz, jnp.int32(0), rnorm, jnp.asarray(False))
@@ -149,20 +169,22 @@ def bicgstab(
     rtol: float = 1e-10,
     atol: float = 1e-50,
     maxiter: int = 1000,
+    axis: str | None = None,
 ) -> KrylovResult:
     """Preconditioned BiCGStab for nonsymmetric operators (tentative
     velocity: convection makes A nonsymmetric, fracstep.py:435-442)."""
     M = M or _identity
     x0 = jnp.zeros_like(b) if x0 is None else x0
     rtol = _effective_rtol(rtol, b.dtype)
-    bnorm = jnp.linalg.norm(b)
+    _vdot, _norm = _make_reducers(axis)
+    bnorm = _norm(b)
     tol = jnp.maximum(rtol * bnorm, atol)
 
     r = b - A(x0)
     rhat0 = r
-    rho0 = jnp.vdot(rhat0, r)
+    rho0 = _vdot(rhat0, r)
     p0 = r
-    rnorm = jnp.linalg.norm(r)
+    rnorm = _norm(r)
 
     def cond(state):
         x, r, p, rho, rhat, restarted, k, rnorm, brk = state
@@ -176,33 +198,33 @@ def bicgstab(
         need_restart = rho == 0
         brk = brk | (need_restart & restarted)
         rhat = jnp.where(need_restart, r, rhat)
-        rho = jnp.where(need_restart, jnp.vdot(r, r), rho)
+        rho = jnp.where(need_restart, _vdot(r, r), rho)
         p = jnp.where(need_restart, r, p)
         restarted = need_restart
         phat = M(p)
         v = A(phat)
-        rv = jnp.vdot(rhat, v)
+        rv = _vdot(rhat, v)
         brk = brk | (rv == 0) | (rho == 0)
         alpha = rho / jnp.where(rv != 0, rv, 1.0)
         s = r - alpha * v
         # half-step convergence: if ||s|| is already below tol, finish with
         # the alpha update only (tt would legitimately be ~0 here — that is
         # convergence, not breakdown)
-        half = jnp.linalg.norm(s) <= tol
+        half = _norm(s) <= tol
         shat = M(s)
         t = A(shat)
-        tt = jnp.vdot(t, t)
+        tt = _vdot(t, t)
         brk = brk | (jnp.logical_not(half) & (tt == 0))
-        omega = jnp.where(half, 0.0, jnp.vdot(t, s) / jnp.where(tt != 0, tt, 1.0))
+        omega = jnp.where(half, 0.0, _vdot(t, s) / jnp.where(tt != 0, tt, 1.0))
         x = x + alpha * phat + omega * shat
         r = jnp.where(half, s, s - omega * t)
-        rho_new = jnp.vdot(rhat, r)
+        rho_new = _vdot(rhat, r)
         brk = brk | (jnp.logical_not(half) & (omega == 0))
         beta = (rho_new / jnp.where(rho != 0, rho, 1.0)) * (
             alpha / jnp.where(omega != 0, omega, 1.0)
         )
         p = r + beta * (p - omega * v)
-        return (x, r, p, rho_new, rhat, restarted, k + 1, jnp.linalg.norm(r), brk)
+        return (x, r, p, rho_new, rhat, restarted, k + 1, _norm(r), brk)
 
     x, r, p, rho, rhat, restarted, k, rnorm, brk = jax.lax.while_loop(
         cond,
@@ -229,12 +251,18 @@ def jacobi_preconditioner(diag: jax.Array) -> Callable:
 # ---------------------------------------------------------------------------
 
 
-def _row_norm(v):
-    return jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+def _row_norm(v, axis=None):
+    s2 = jnp.sum(v * v, axis=-1, keepdims=True)
+    if axis is not None:
+        s2 = jax.lax.psum(s2, axis)
+    return jnp.sqrt(s2)
 
 
-def _row_dot(a, b):
-    return jnp.sum(a * b, axis=-1, keepdims=True)
+def _row_dot(a, b, axis=None):
+    s2 = jnp.sum(a * b, axis=-1, keepdims=True)
+    if axis is not None:
+        s2 = jax.lax.psum(s2, axis)
+    return s2
 
 
 def cg_batched(
@@ -245,18 +273,19 @@ def cg_batched(
     rtol: float = 1e-10,
     atol: float = 1e-50,
     maxiter: int = 1000,
+    axis: str | None = None,
 ) -> KrylovResult:
     """Preconditioned CG on k systems at once: b, x0 of shape (k, n)."""
     M = M or _identity
     x0 = jnp.zeros_like(b) if x0 is None else x0
     rtol = _effective_rtol(rtol, b.dtype)
-    tol = jnp.maximum(rtol * _row_norm(b), atol)
+    tol = jnp.maximum(rtol * _row_norm(b, axis), atol)
 
     r = b - A(x0)
     z = M(r)
     p = z
-    rz = _row_dot(r, z)
-    rnorm = _row_norm(r)
+    rz = _row_dot(r, z, axis)
+    rnorm = _row_norm(r, axis)
 
     def cond(state):
         x, r, z, p, rz, k, rnorm, iters = state
@@ -266,16 +295,16 @@ def cg_batched(
         x, r, z, p, rz, k, rnorm, iters = state
         active = rnorm > tol
         Ap = A(p)
-        pAp = _row_dot(p, Ap)
+        pAp = _row_dot(p, Ap, axis)
         alpha = jnp.where(active, rz / jnp.where(pAp != 0, pAp, 1.0), 0.0)
         x = x + alpha * p
         r = r - alpha * Ap
         z = M(r)
-        rz_new = jnp.where(active, _row_dot(r, z), rz)
+        rz_new = jnp.where(active, _row_dot(r, z, axis), rz)
         beta = jnp.where(active, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
         p = jnp.where(active, z + beta * p, p)
         iters = iters + active[..., 0].astype(jnp.int32)
-        return (x, r, z, p, rz_new, k + 1, _row_norm(r), iters)
+        return (x, r, z, p, rz_new, k + 1, _row_norm(r, axis), iters)
 
     iters0 = jnp.zeros(b.shape[0], jnp.int32)
     x, r, z, p, rz, k, rnorm, iters = jax.lax.while_loop(
@@ -292,18 +321,19 @@ def bicgstab_batched(
     rtol: float = 1e-10,
     atol: float = 1e-50,
     maxiter: int = 1000,
+    axis: str | None = None,
 ) -> KrylovResult:
     """Preconditioned BiCGStab on k systems at once: b, x0 of shape (k, n)."""
     M = M or _identity
     x0 = jnp.zeros_like(b) if x0 is None else x0
     rtol = _effective_rtol(rtol, b.dtype)
-    tol = jnp.maximum(rtol * _row_norm(b), atol)
+    tol = jnp.maximum(rtol * _row_norm(b, axis), atol)
 
     r = b - A(x0)
     rhat = r
-    rho = _row_dot(rhat, r)
+    rho = _row_dot(rhat, r, axis)
     p = r
-    rnorm = _row_norm(r)
+    rnorm = _row_norm(r, axis)
 
     def cond(state):
         x, r, p, rho, k, rnorm, iters = state
@@ -314,24 +344,24 @@ def bicgstab_batched(
         active = rnorm > tol
         phat = M(p)
         v = A(phat)
-        rv = _row_dot(rhat, v)
+        rv = _row_dot(rhat, v, axis)
         alpha = rho / jnp.where(rv != 0, rv, 1.0)
         s = r - alpha * v
         shat = M(s)
         t = A(shat)
-        tt = _row_dot(t, t)
-        omega = _row_dot(t, s) / jnp.where(tt != 0, tt, 1.0)
+        tt = _row_dot(t, t, axis)
+        omega = _row_dot(t, s, axis) / jnp.where(tt != 0, tt, 1.0)
         dx = alpha * phat + omega * shat
         x = x + jnp.where(active, dx, 0.0)
         r_new = s - omega * t
         r = jnp.where(active, r_new, r)
-        rho_new = jnp.where(active, _row_dot(rhat, r), rho)
+        rho_new = jnp.where(active, _row_dot(rhat, r, axis), rho)
         beta = (rho_new / jnp.where(rho != 0, rho, 1.0)) * (
             alpha / jnp.where(omega != 0, omega, 1.0)
         )
         p = jnp.where(active, r + beta * (p - omega * v), p)
         iters = iters + active[..., 0].astype(jnp.int32)
-        return (x, r, p, rho_new, k + 1, _row_norm(r), iters)
+        return (x, r, p, rho_new, k + 1, _row_norm(r, axis), iters)
 
     iters0 = jnp.zeros(b.shape[0], jnp.int32)
     x, r, p, rho, k, rnorm, iters = jax.lax.while_loop(
