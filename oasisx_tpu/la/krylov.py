@@ -368,3 +368,59 @@ def bicgstab_batched(
         cond, body, (x0, r, p, rho, jnp.int32(0), rnorm, iters0)
     )
     return KrylovResult(x, iters, rnorm[..., 0], rnorm[..., 0] <= tol[..., 0])
+
+
+def chebyshev_preconditioner(
+    matvec: Callable,
+    inv_diag: jax.Array,
+    lmin: float,
+    lmax: float,
+    degree: int = 8,
+) -> Callable:
+    """Chebyshev acceleration of Jacobi as an SPD preconditioner.
+
+    Standard three-term recurrence (Saad, Iterative Methods, alg. 12.1)
+    on the Jacobi-preconditioned operator with eigenvalue bounds
+    [lmin, lmax] (estimate lmax by power iteration; lmin = lmax/30 is the
+    usual smoother convention). Fixed degree => a fixed linear SPD
+    operator, valid inside CG. The TPU-native substitute for the
+    reference's MUMPS LU on unstructured / outlet-BC pressure systems
+    (/root/reference/src/oasisx/fracstep.py:564-571, VERDICT r1 item 5).
+    """
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma1 = theta / delta
+
+    def M(r):
+        rho = 1.0 / sigma1
+        d = (inv_diag * r) / theta
+        z = d
+        for _ in range(degree - 1):
+            rho_new = 1.0 / (2.0 * sigma1 - rho)
+            resid = r - matvec(z)
+            d = rho_new * rho * d + (2.0 * rho_new / delta) * (inv_diag * resid)
+            z = z + d
+            rho = rho_new
+        return z
+
+    return M
+
+
+def estimate_lmax(matvec: Callable, inv_diag: jax.Array, iters: int = 15, seed: int = 0):
+    """Power iteration for the largest eigenvalue of D^-1 A (host-driven,
+    setup-time)."""
+    import numpy as _np
+
+    key = jax.random.PRNGKey(seed)
+    v = jax.random.normal(key, inv_diag.shape, dtype=inv_diag.dtype)
+    v = v / jnp.linalg.norm(v)
+    lam = 1.0
+    mv = jax.jit(lambda x: inv_diag * matvec(x))
+    for _ in range(iters):
+        w = mv(v)
+        lam = float(jnp.vdot(v, w))
+        nw = float(jnp.linalg.norm(w))
+        if nw == 0:
+            break
+        v = w / nw
+    return abs(lam) * 1.05

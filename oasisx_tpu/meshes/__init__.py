@@ -2,6 +2,7 @@
 
 from .generation import (
     create_box,
+    create_cylinder_channel,
     create_interval,
     create_rectangle,
     create_unit_cube,
@@ -16,6 +17,7 @@ __all__ = [
     "MeshTags",
     "CELL_FACETS",
     "create_box",
+    "create_cylinder_channel",
     "create_interval",
     "create_rectangle",
     "create_unit_cube",

@@ -66,3 +66,75 @@ def test_mg_pcg_beats_jacobi():
     x2 = np.asarray(res_j.x)
     d = (x1 - x1.mean()) - (x2 - x2.mean())
     assert np.abs(d).max() < 1e-6 * max(1.0, np.abs(x1).max())
+
+
+def test_chebyshev_pressure_unstructured_and_outlet():
+    """Chebyshev-Jacobi engages where MG cannot (unstructured mesh / outlet
+    BC) and cuts pressure iterations vs plain Jacobi (VERDICT r1 item 5)."""
+    import numpy as np
+
+    from oasisx_tpu import (
+        DirichletBC, FractionalStep_AB_CN, LocatorMethod, PressureBC,
+    )
+    from oasisx_tpu.meshes import create_cylinder_channel, create_rectangle, meshtags
+
+    # unstructured: the DFG cylinder-channel mesh, zero velocity everywhere
+    mesh = create_cylinder_channel(res=24)
+    assert mesh.structured is None
+
+    facets = mesh.exterior_facet_indices()
+    tags = meshtags(mesh, mesh.dim - 1, facets, np.full_like(facets, 1))
+    bcs = [[DirichletBC(0.0, LocatorMethod.TOPOLOGICAL, (tags, 1))] for _ in range(2)]
+
+    def build(pc):
+        s = FractionalStep_AB_CN(
+            mesh, ("Lagrange", 2), ("Lagrange", 1), bcs, [],
+            solver_options={
+                "tentative": {"ksp_rtol": 1e-10},
+                "pressure": {"ksp_rtol": 1e-10, "pc_type": pc},
+                "scalar": {"ksp_rtol": 1e-10},
+            },
+        )
+        for i in range(2):
+            s._u1[i].interpolate(lambda x: 0.2 * np.sin(np.pi * x[0]) * np.cos(np.pi * x[1]))
+            s._u2[i].interpolate(lambda x: 0.2 * np.sin(np.pi * x[0]) * np.cos(np.pi * x[1]))
+        return s
+
+    s_cheb = build("cheb")
+    assert s_cheb._cheb is not None and s_cheb._mg is None
+    s_jac = build("jacobi")
+    assert s_jac._cheb is None
+    s_cheb.solve(0.01, 0.05, max_iter=1)
+    s_jac.solve(0.01, 0.05, max_iter=1)
+    it_c = int(np.asarray(s_cheb.last_stats["p_iters"]))
+    it_j = int(np.asarray(s_jac.last_stats["p_iters"]))
+    assert it_c < it_j / 2, (it_c, it_j)
+    for i in range(2):
+        a, b = s_cheb._u[i].x.array, s_jac._u[i].x.array
+        assert np.abs(a - b).max() < 1e-6
+
+    # outlet (PressureBC): Dirichlet pressure system
+    m2 = create_rectangle((0.0, 0.0), (2.0, 1.0), (10, 6))
+    f2 = m2.exterior_facet_indices()
+    mids = m2.midpoints(m2.dim - 1, f2)
+    vals = np.where(np.isclose(mids[:, 0], 2.0), 2, 1).astype(np.int32)
+    t2 = meshtags(m2, m2.dim - 1, f2, vals)
+    bcs2 = [
+        [DirichletBC(0.0, LocatorMethod.TOPOLOGICAL, (t2, 1))],
+        [DirichletBC(0.0, LocatorMethod.TOPOLOGICAL, (t2, 1))],
+    ]
+    pbc = [PressureBC(0.0, (t2, 2))]
+    s_out = FractionalStep_AB_CN(
+        m2, ("Lagrange", 2), ("Lagrange", 1), bcs2, pbc,
+        solver_options={
+            "tentative": {"ksp_rtol": 1e-10},
+            "pressure": {"ksp_rtol": 1e-10},
+            "scalar": {"ksp_rtol": 1e-10},
+        },
+    )
+    assert s_out._cheb is not None
+    for i in range(2):
+        s_out._u1[i].interpolate(lambda x: 0.1 * x[1] * (1 - x[1]))
+        s_out._u2[i].interpolate(lambda x: 0.1 * x[1] * (1 - x[1]))
+    s_out.solve(0.01, 0.05, max_iter=1)
+    assert np.isfinite(s_out._u[0].x.array).all()
