@@ -41,7 +41,7 @@ def setup(dim, N, du, dp):
     return mesh, ctx, refs, ops, (sm_v, gf_v, valid_v), (sm_q, gf_q, valid_q)
 
 
-CASES = [(2, 4, 2, 1), (2, 3, 1, 1), (3, 3, 2, 1), (3, 2, 2, 2)]
+CASES = [(2, 4, 2, 1), (2, 3, 1, 1), (3, 3, 2, 1), (3, 2, 2, 2), (3, 2, 3, 2), (2, 3, 4, 2)]
 
 
 @pytest.mark.parametrize("dim,N,du,dp", CASES)
