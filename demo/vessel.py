@@ -66,23 +66,50 @@ def main(argv=None):
     parser.add_argument("-dt", type=float, default=0.01)
     parser.add_argument("-T", type=float, default=1.0)
     parser.add_argument("-nu", type=float, default=0.04)
+    parser.add_argument(
+        "--mesh-path", type=str, default=None,
+        help="Patient mesh (.msh v2.2/v4.1 or .npz) with tagged surfaces: "
+        "inlet/wall/outlet physical groups (override ids via --inlet-tag etc.)",
+    )
+    parser.add_argument("--inlet-tag", type=int, default=1)
+    parser.add_argument("--wall-tag", type=int, default=2)
+    parser.add_argument("--outlet-tag", type=int, default=3)
     args = parser.parse_args(argv)
 
-    mesh = make_vessel(args.n_axial, args.n_cross)
-    dim = mesh.dim - 1
-    inlet_f = locate_entities_boundary(mesh, dim, lambda x: np.isclose(x[0], 0.0))
-    outlet_f = locate_entities_boundary(mesh, dim, lambda x: np.isclose(x[0], L))
-    ext = mesh.exterior_facet_indices()
-    wall_f = np.setdiff1d(ext, np.concatenate([inlet_f, outlet_f]))
-    facets = np.concatenate([inlet_f, wall_f, outlet_f])
-    values = np.concatenate(
-        [
-            np.full_like(inlet_f, 1, dtype=np.int32),
-            np.full_like(wall_f, 2, dtype=np.int32),
-            np.full_like(outlet_f, 3, dtype=np.int32),
-        ]
-    )
-    tags = meshtags(mesh, dim, facets, values)
+    if args.mesh_path is not None:
+        from oasisx_tpu.io import import_mesh_with_tags
+
+        mesh, tags = import_mesh_with_tags(args.mesh_path)
+        if tags is None:
+            raise SystemExit(
+                f"{args.mesh_path} carries no tagged surfaces; the vessel "
+                "config needs inlet/wall/outlet physical groups"
+            )
+        got = set(np.unique(tags.values).tolist())
+        need = {args.inlet_tag, args.wall_tag, args.outlet_tag}
+        if not need <= got:
+            raise SystemExit(f"mesh tags {sorted(got)} do not include {sorted(need)}")
+        # remap user tag ids onto the demo's 1/2/3 convention
+        remap = {args.inlet_tag: 1, args.wall_tag: 2, args.outlet_tag: 3}
+        vals = np.array([remap.get(int(v), 0) for v in tags.values], dtype=np.int32)
+        keep = vals > 0
+        tags = meshtags(mesh, mesh.dim - 1, tags.indices[keep], vals[keep])
+    else:
+        mesh = make_vessel(args.n_axial, args.n_cross)
+        dim = mesh.dim - 1
+        inlet_f = locate_entities_boundary(mesh, dim, lambda x: np.isclose(x[0], 0.0))
+        outlet_f = locate_entities_boundary(mesh, dim, lambda x: np.isclose(x[0], L))
+        ext = mesh.exterior_facet_indices()
+        wall_f = np.setdiff1d(ext, np.concatenate([inlet_f, outlet_f]))
+        facets = np.concatenate([inlet_f, wall_f, outlet_f])
+        values = np.concatenate(
+            [
+                np.full_like(inlet_f, 1, dtype=np.int32),
+                np.full_like(wall_f, 2, dtype=np.int32),
+                np.full_like(outlet_f, 3, dtype=np.int32),
+            ]
+        )
+        tags = meshtags(mesh, dim, facets, values)
 
     inflow = PulsatileInflow()
     zero = lambda tag: DirichletBC(0.0, LocatorMethod.TOPOLOGICAL, (tags, tag))

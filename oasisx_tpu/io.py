@@ -25,10 +25,24 @@ _VTK_CELL = {"interval": 3, "triangle": 5, "tetrahedron": 10}
 
 
 def import_mesh(path: str | os.PathLike) -> Mesh:
-    """Import a mesh from .npz (points, cells, cell_type) or Gmsh .msh v2.2.
+    """Import a mesh from .npz (points, cells, cell_type) or Gmsh .msh
+    (ASCII v2.2 or v4.1).
 
     Falls back to a 10x10 unit square when the file is missing — matching
     the reference stub's behavior (mesh.py:14-16) instead of crashing."""
+    return import_mesh_with_tags(path)[0]
+
+
+def import_mesh_with_tags(path: str | os.PathLike):
+    """Import a mesh plus its tagged boundary facets (Gmsh physical groups
+    mapped onto mesh facet indices): returns (Mesh, MeshTags | None).
+
+    .npz files may carry ``facet_tags_indices`` / ``facet_tags_values``
+    arrays; .msh files (ASCII v2.2 and v4.1) read physical surface/line
+    groups — the patient-mesh configs (BASELINE config 5) need tagged
+    inlet/outlet/wall surfaces (VERDICT r1 item 10)."""
+    from .meshes.tags import MeshTags
+
     p = Path(path) if path is not None else None
     if p is None or not p.exists():
         if p is not None:
@@ -38,21 +52,79 @@ def import_mesh(path: str | os.PathLike) -> Mesh:
                 "mesh file %s not found; falling back to a 10x10 unit square "
                 "(reference stub behavior)", p
             )
-        return create_unit_square(10, 10)
+        return create_unit_square(10, 10), None
     if p.suffix == ".npz":
         data = np.load(p, allow_pickle=False)
         cell_type = str(data["cell_type"]) if "cell_type" in data else None
         cells = data["cells"]
         if cell_type is None:
             cell_type = {2: "interval", 3: "triangle", 4: "tetrahedron"}[cells.shape[1]]
-        return Mesh(data["points"], cells, cell_type)
+        mesh = Mesh(data["points"], cells, cell_type)
+        tags = None
+        if "facet_tags_indices" in data:
+            tags = MeshTags(
+                mesh, mesh.dim - 1,
+                np.asarray(data["facet_tags_indices"], dtype=np.int32),
+                np.asarray(data["facet_tags_values"], dtype=np.int32),
+            )
+        return mesh, tags
     if p.suffix == ".msh":
-        return _read_gmsh22(p)
+        head = p.read_text().splitlines()
+        version = "2.2"
+        for i, line in enumerate(head[:5]):
+            if line.strip() == "$MeshFormat":
+                version = head[i + 1].split()[0]
+                break
+        if version.startswith("4"):
+            mesh, fverts, fvals = _read_gmsh4(p)
+        else:
+            mesh, fverts, fvals = _read_gmsh22(p)
+        return mesh, _facet_tags_from_vertex_sets(mesh, fverts, fvals)
     raise ValueError(f"unsupported mesh format: {p.suffix}")
 
 
-def _read_gmsh22(path: Path) -> Mesh:
-    """Minimal Gmsh ASCII v2.2 reader: nodes + highest-dim elements."""
+def _facet_tags_from_vertex_sets(mesh: Mesh, fverts, fvals):
+    """Map tagged boundary entities (given by vertex sets) onto the mesh's
+    facet numbering."""
+    from .meshes.tags import MeshTags
+
+    if not fverts:
+        return None
+    top = mesh.topology
+    keys = np.sort(top.facets, axis=1)
+    order = np.lexsort(keys.T[::-1])
+    keys_sorted = keys[order]
+    q = np.sort(np.asarray(fverts, dtype=keys.dtype), axis=1)
+    # row-wise binary search
+    pos = np.searchsorted(
+        _row_keys(keys_sorted, mesh.num_vertices), _row_keys(q, mesh.num_vertices)
+    )
+    nkeys = keys_sorted.shape[0]
+    ok = pos < nkeys
+    ok[ok] &= (keys_sorted[pos[ok]] == q[ok]).all(axis=1)
+    if not ok.all():
+        import logging
+
+        logging.getLogger("oasisx_tpu").warning(
+            "%d tagged gmsh facets not found in the mesh facet list (skipped)",
+            int((~ok).sum()),
+        )
+    idx = order[pos[ok]].astype(np.int32)
+    vals = np.asarray(fvals, dtype=np.int32)[ok]
+    srt = np.argsort(idx)
+    return MeshTags(mesh, mesh.dim - 1, idx[srt], vals[srt])
+
+
+def _row_keys(rows: np.ndarray, base: int) -> np.ndarray:
+    keys = np.zeros(rows.shape[0], dtype=np.int64)
+    for k in range(rows.shape[1]):
+        keys = keys * base + rows[:, k]
+    return keys
+
+
+def _read_gmsh22(path: Path):
+    """Gmsh ASCII v2.2 reader: nodes + highest-dim elements + tagged
+    boundary elements (physical group = first tag)."""
     lines = path.read_text().splitlines()
     i = 0
     nodes = {}
@@ -72,8 +144,9 @@ def _read_gmsh22(path: Path) -> Mesh:
                 etype = int(parts[1])
                 ntags = int(parts[2])
                 verts = [int(v) for v in parts[3 + ntags :]]
+                phys = int(parts[3]) if ntags >= 1 else 0
                 if etype in elems:
-                    elems[etype].append(verts)
+                    elems[etype].append((verts, phys))
             i += n + 2
         else:
             i += 1
@@ -81,11 +154,106 @@ def _read_gmsh22(path: Path) -> Mesh:
     remap = {nid: j for j, nid in enumerate(ids)}
     pts = np.array([nodes[nid] for nid in ids])
     if elems[4]:
-        cells = np.array([[remap[v] for v in e] for e in elems[4]], dtype=np.int32)
-        return Mesh(pts, cells, "tetrahedron")
+        cells = np.array([[remap[v] for v in e] for e, _ in elems[4]], dtype=np.int32)
+        fverts = [[remap[v] for v in e] for e, ph in elems[2] if ph]
+        fvals = [ph for _, ph in elems[2] if ph]
+        return Mesh(pts, cells, "tetrahedron"), fverts, fvals
     if elems[2]:
-        cells = np.array([[remap[v] for v in e] for e in elems[2]], dtype=np.int32)
-        return Mesh(pts[:, :2], cells, "triangle")
+        cells = np.array([[remap[v] for v in e] for e, _ in elems[2]], dtype=np.int32)
+        fverts = [[remap[v] for v in e] for e, ph in elems[1] if ph]
+        fvals = [ph for _, ph in elems[1] if ph]
+        return Mesh(pts[:, :2], cells, "triangle"), fverts, fvals
+    raise ValueError(f"no triangles or tetrahedra found in {path}")
+
+
+def _read_gmsh4(path: Path):
+    """Gmsh ASCII v4.1 reader: $Entities physical tags, block-format
+    $Nodes/$Elements; returns (Mesh, tagged facet vertex sets, values)."""
+    lines = path.read_text().splitlines()
+    i = 0
+    sections: dict[str, tuple[int, int]] = {}
+    while i < len(lines):
+        t = lines[i].strip()
+        if t.startswith("$") and not t.startswith("$End"):
+            name = t[1:]
+            j = i + 1
+            while j < len(lines) and lines[j].strip() != f"$End{name}":
+                j += 1
+            sections[name] = (i + 1, j)
+            i = j + 1
+        else:
+            i += 1
+
+    # entity (dim, tag) -> physical tag (first one)
+    ent_phys: dict[tuple[int, int], int] = {}
+    if "Entities" in sections:
+        a, b = sections["Entities"]
+        counts = [int(x) for x in lines[a].split()]  # nPoints nCurves nSurf nVol
+        row = a + 1
+        for dim, cnt in enumerate(counts):
+            for _ in range(cnt):
+                parts = lines[row].split()
+                tag = int(parts[0])
+                # points: tag x y z numPhys phys...; others: tag box(6) numPhys ...
+                off = 4 if dim == 0 else 7
+                nphys = int(parts[off])
+                if nphys > 0:
+                    ent_phys[(dim, tag)] = int(parts[off + 1])
+                row += 1
+
+    a, b = sections["Nodes"]
+    hdr = [int(x) for x in lines[a].split()]
+    nblocks = hdr[0]
+    row = a + 1
+    node_ids: list[int] = []
+    coords: list[list[float]] = []
+    for _ in range(nblocks):
+        _ed, _et, _param, nn = [int(x) for x in lines[row].split()]
+        row += 1
+        ids = [int(lines[row + k]) for k in range(nn)]
+        row += nn
+        for k in range(nn):
+            coords.append([float(x) for x in lines[row + k].split()[:3]])
+        row += nn
+        node_ids.extend(ids)
+    remap = {nid: j for j, nid in enumerate(node_ids)}
+    pts = np.asarray(coords)
+
+    a, b = sections["Elements"]
+    hdr = [int(x) for x in lines[a].split()]
+    nblocks = hdr[0]
+    row = a + 1
+    cells3, cells2, tagged = [], [], {2: ([], []), 1: ([], [])}
+    for _ in range(nblocks):
+        edim, etag, etype, ne = [int(x) for x in lines[row].split()]
+        row += 1
+        phys = ent_phys.get((edim, etag), 0)
+        for k in range(ne):
+            parts = [int(x) for x in lines[row + k].split()]
+            verts = [remap[v] for v in parts[1:]]
+            if etype == 4:
+                cells3.append(verts)
+            elif etype == 2:
+                cells2.append(verts)
+                if phys:
+                    tagged[2][0].append(verts)
+                    tagged[2][1].append(phys)
+            elif etype == 1 and phys:
+                tagged[1][0].append(verts)
+                tagged[1][1].append(phys)
+        row += ne
+    if cells3:
+        return (
+            Mesh(pts, np.asarray(cells3, dtype=np.int32), "tetrahedron"),
+            tagged[2][0],
+            tagged[2][1],
+        )
+    if cells2:
+        return (
+            Mesh(pts[:, :2], np.asarray(cells2, dtype=np.int32), "triangle"),
+            tagged[1][0],
+            tagged[1][1],
+        )
     raise ValueError(f"no triangles or tetrahedra found in {path}")
 
 
