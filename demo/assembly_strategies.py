@@ -47,7 +47,11 @@ def bench_degree(mesh, du, dp, repeats=3):
 
     r_a = jax.block_until_ready(action(ctx, pj))
     r_m = jax.block_until_ready(matvec(ctx, mats, pj))
-    assert np.allclose(np.asarray(r_a), np.asarray(r_m), atol=1e-10), "strategy mismatch"
+    # the two strategies contract in different orders; agreement is to
+    # roundoff of the active dtype (1e-10 under x64, ~1e-5 relative in f32)
+    tol = 1e-10 if np.asarray(r_a).dtype == np.float64 else 5e-5
+    scale = max(1.0, float(np.abs(np.asarray(r_m)).max()))
+    assert np.abs(np.asarray(r_a) - np.asarray(r_m)).max() < tol * scale, "strategy mismatch"
 
     t_action, t_matvec = [], []
     for _ in range(repeats):

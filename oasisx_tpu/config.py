@@ -15,6 +15,19 @@ import jax.numpy as jnp
 # on remote-compile TPU backends; caching makes every subsequent process
 # (tests, demos, benchmarks, the driver) start fast. Opt out with
 # OASISX_TPU_NO_COMPILE_CACHE=1.
+# FEM operators need f32-accurate contractions: on TPU the default matmul
+# precision rounds f32 operands to bfloat16 (~2e-3 relative error per
+# matvec — measured on the assembly einsums), which silently degrades
+# Krylov convergence and physics. "highest" emulates f32 on the MXU.
+# Override with OASISX_TPU_MATMUL_PRECISION=default|high|highest.
+try:
+    jax.config.update(
+        "jax_default_matmul_precision",
+        os.environ.get("OASISX_TPU_MATMUL_PRECISION", "highest"),
+    )
+except Exception:
+    pass
+
 if not os.environ.get("OASISX_TPU_NO_COMPILE_CACHE"):
     try:
         jax.config.update(

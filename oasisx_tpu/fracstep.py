@@ -455,6 +455,17 @@ class FractionalStep_AB_CN:
             sm_v = self._ctx.sv
             cells = sm_v[1]
             nl = int(self._cu.M_c.shape[0])
+            # scoped-VMEM budget: the velocity kernels hold ~2 grid buffers
+            # (minor dims padded to (8, 128) tiles); stay under the 16 MB
+            # Mosaic stack limit or fall back to the XLA paths
+            pdims = list(sm_v[0])
+            pdims[-2] = -(-pdims[-2] // 8) * 8
+            pdims[-1] = -(-pdims[-1] // 128) * 128
+            grid_bytes = 4 * int(np.prod(pdims))
+            if 2.2 * grid_bytes > 15.5e6:
+                raise ValueError(
+                    f"velocity grid too large for scoped VMEM ({grid_bytes/1e6:.1f} MB)"
+                )
             # batch=1 kernels: a (d, nl, cells) VMEM block exceeds the 16 MB
             # scoped limit (minor (37,37) dims pad ~3.5x), so components loop
             # over per-vector kernels while the W einsum stays batched (the
