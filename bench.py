@@ -72,22 +72,22 @@ def build_solver(N, dtype, device_mesh=None, rtol=1e-5):
     return solver
 
 
-def measure(solver, dt, nu, steps=5, windows=3):
+def measure(solver, dt, nu, steps=5, windows=5):
     # warmup with the same static step count so the timed calls hit the
-    # compile cache (lax.scan length is static); then take the BEST of
-    # ``windows`` timing windows — the shared TPU relay's throughput
-    # fluctuates ~2x with external load, and the best window is the
-    # closest estimate of the machine's actual capability
+    # compile cache (lax.scan length is static); then report BOTH the
+    # median and the best of ``windows`` timing windows — the shared TPU
+    # relay's throughput fluctuates ~2x with external load; the median is
+    # the honest headline (VERDICT r2 weak #4) and the best estimates the
+    # machine's unloaded capability
     solver.run(steps, dt, nu, max_iter=1)
-    best, stats = None, None
+    times, stats = [], None
     for _ in range(windows):
         t0 = time.perf_counter()
         stats = solver.run(steps, dt, nu, max_iter=1)
         t1 = time.perf_counter()
-        if best is None or (t1 - t0) < best:
-            best = t1 - t0
+        times.append(t1 - t0)
     assert np.isfinite(solver._u[0].x.array).all(), "NaN in velocity"
-    return best / steps, stats
+    return float(np.median(times)) / steps, min(times) / steps, stats
 
 
 def main():
@@ -107,9 +107,10 @@ def main():
     N = int(os.environ.get("BENCH_N", 36))  # even -> MG hierarchy; P2 dofs (2N+1)^3 = 389k -> 1.167M velocity dofs
     solver = build_solver(N, dtype=np.float32)
     nvel = 3 * solver._Vi[0][0].num_dofs
-    sec_per_step, stats = measure(solver, dt, nu)
+    sec_per_step, sec_per_step_best, stats = measure(solver, dt, nu)
     steps_per_sec = 1.0 / sec_per_step
     mdof_rate = nvel * steps_per_sec / 1e6
+    mdof_rate_best = nvel / sec_per_step_best / 1e6
 
     # --- CPU reference baseline (same mesh, scipy-CSR IPCS) ----------------
     cpu_rate = float(os.environ.get("BENCH_CPU_MDOF", CPU_REF_MDOF_PER_S))
@@ -131,7 +132,9 @@ def main():
         "value": round(mdof_rate, 3),
         "unit": "MDOF-updates/s",
         "vs_baseline": round(mdof_rate / cpu_rate, 2) if cpu_rate else None,
+        "best": round(mdof_rate_best, 3),
         "steps_per_sec": round(steps_per_sec, 4),
+        "steps_per_sec_best": round(1.0 / sec_per_step_best, 4),
         "velocity_dofs": int(nvel),
         "platform": jax.devices()[0].platform,
         "u_iters_mean": float(np.mean(stats["u_iters"])),

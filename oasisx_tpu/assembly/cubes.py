@@ -30,9 +30,8 @@ matmuls against the same cube-local values, the u.grad(x) dot product is
 elementwise, and the test contraction returns to cube-local form — all
 cells-in-lanes matmuls.
 
-This replaces both the per-cell element-matrix stacks (which stream
-O(ncells*nd^2) floats per matvec) and the per-(shape,dof) slice scatter of
-assembly/shape_uniform.py on the hot path.  Measured at N=36 P2/P1 3D
+This replaces the per-cell element-matrix stacks (which stream
+O(ncells*nd^2) floats per matvec) on the hot path.  Measured at N=36 P2/P1 3D
 (1.17M velocity dofs, TPU v5e-lite): velocity matvec 1.5 ms -> 0.2 ms.
 
 Reference semantics provided: PETSc Mat.mult / assemble_vector action

@@ -269,3 +269,23 @@ def test_demo_use_run_matches_per_step_path():
     r2 = tg.main(argv + ["--use-run"])
     assert np.allclose(r1[0], r2[0], rtol=1e-4)
     assert np.allclose(r1[1], r2[1], rtol=1e-4)
+
+
+def test_run_different_callbacks_not_cached_stale():
+    """Regression (VERDICT r2 weak #2): a second run() with a DIFFERENT
+    step_callback must not silently reuse the first callback's compiled
+    trace — the multi-step cache is keyed on callback identity."""
+    N, nu, dt = 8, 0.01, 0.01
+    mesh, solver, u_ex, t_u = _solver_for(N, nu, dt)
+    _init(solver, u_ex, t_u, 0.0, dt)
+
+    cb_energy = lambda st, t: (st["u"] ** 2).sum()
+    cb_pmax = lambda st, t: abs(st["p"]).max()
+    s1 = solver.run(2, dt, nu, step_callback=cb_energy)
+    out1 = np.asarray(s1["callback"])
+    s2 = solver.run(2, dt, nu, step_callback=cb_pmax)
+    out2 = np.asarray(s2["callback"])
+    # the two callbacks measure different quantities: stale-cache reuse
+    # would return an energy-shaped result for the pmax callback
+    assert not np.allclose(out1, out2)
+    assert (out2 < 1.0).all() and (out1 > 1.0).all()
