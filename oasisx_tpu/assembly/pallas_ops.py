@@ -580,3 +580,290 @@ def cg_solve_stepped(step_fn, matvec, b, x0, invd_flat, rtol, maxiter):
         cond, body, (x0, r0, z0, rz0, jnp.int32(0), rn0)
     )
     return x, k, rn, rn <= tol
+
+
+# ===========================================================================
+# Fused BiCGStab: ONE Pallas op per Krylov iteration (round 3)
+#
+# The round-2 trace/census showed the batched-XLA BiCGStab body costs ~316
+# dispatched ops per iteration (~60% of all per-step ops) on the relay
+# backend.  This kernel runs the ENTIRE iteration of the batched
+# preconditioned BiCGStab (la/krylov.py:bicgstab_batched semantics,
+# replacing PETSc KSP bcgs, /root/reference/src/oasisx/ksp.py:71-78) as a
+# single op: both W-streamed matvecs, the Jacobi preconditioner, all six
+# reductions, and the vector updates, for all d velocity components at
+# once.
+#
+# Layouts:
+# - "plane-flat" state: the parity grid (nch, n0+1, n1+1, n2+1) with the
+#   last two axes flattened to L = (n1+1)(n2+1) lanes.  A (nch, 37, 1369)
+#   f32 buffer tiles to (nch, 40, 1408) = 1.8 MB instead of the 6.06 MB of
+#   the 4-D grid (whose (37, 37) minor dims pad 3.46x) — the whole solver
+#   state fits VMEM simultaneously.
+# - "windowed" weights W_win (nl^2, c0, WL): slot-pair (to, ti)'s per-cube
+#   weights for base-plane c0, flattened over (c1, c2) with one zero
+#   column inserted at the plane seam (j % (n2+1) == n2), so each
+#   (to, ti) contribution is ONE offset-slice FMA over a contiguous
+#   length-WL lane window:  y[cho, bo0+*, offo:offo+WL] +=
+#   W_win[pair] * x[chi, bi0+*, offi:offi+WL],  off = (n2+1)*b1 + b2.
+#   The seam zeros kill the row-wrap cross terms exactly.
+# ===========================================================================
+
+
+def pf_shape(sm: StructuredMap):
+    """Plane-flat shape (nch, n0+1, L)."""
+    g = _grid_shape(sm)
+    if len(sm[1]) == 2:
+        return g
+    return (g[0], g[1], g[2] * g[3])
+
+
+def win_len(sm: StructuredMap) -> int:
+    cells = sm[1]
+    if len(cells) == 2:
+        return cells[1]
+    return (cells[2] + 1) * (cells[1] - 1) + cells[2]
+
+
+def _pf_slots(sm: StructuredMap):
+    """Per slot: (channel, row offset b0, lane offset off)."""
+    cells = sm[1]
+    out = []
+    for ch, base in _slot_info(sm):
+        if len(cells) == 2:
+            out.append((ch, base[0], base[1]))
+        else:
+            out.append((ch, base[0], (cells[2] + 1) * base[1] + base[2]))
+    return out
+
+
+def to_planeflat(x: jax.Array, sm: StructuredMap) -> jax.Array:
+    """(..., npad) flat -> (..., nch, n0+1, L)."""
+    return x.reshape(x.shape[:-1] + pf_shape(sm))
+
+
+def from_planeflat(X: jax.Array, sm: StructuredMap) -> jax.Array:
+    npad = int(np.prod(_grid_shape(sm)))
+    return X.reshape(X.shape[:-3] + (npad,))
+
+
+def _c0_padded(sm: StructuredMap) -> int:
+    """W-window row count padded to the f32 sublane tile (8): Mosaic
+    requires DMA slice extents tile-aligned in the second-minor dim."""
+    return -(-sm[1][0] // 8) * 8
+
+
+def _wl_padded(sm: StructuredMap) -> int:
+    """W-window lane count padded to the f32 lane tile (128) — DMA slice
+    extents must be tile-aligned in the minor dim too."""
+    return -(-win_len(sm) // 128) * 128
+
+
+def build_w_win(W: jax.Array, sm: StructuredMap) -> jax.Array:
+    """(nl, nl, nc) or (nl*nl, nc) per-cube weights -> windowed
+    (nl*nl, c0_padded, WL) with seam zeros (XLA, a pad+reshape+slice)."""
+    cells = sm[1]
+    nl2 = int(np.prod(W.shape[:-1])) if W.ndim > 2 else W.shape[0]
+    c0p = _c0_padded(sm)
+    if len(cells) == 2:
+        return jnp.pad(
+            W.reshape(nl2, cells[0], cells[1]),
+            ((0, 0), (0, c0p - cells[0]), (0, _wl_padded(sm) - cells[1])),
+        )
+    c0, c1, c2 = cells
+    W4 = W.reshape(nl2, c0, c1, c2)
+    W4 = jnp.pad(W4, ((0, 0), (0, 0), (0, 0), (0, 1)))  # seam zero column
+    Ww = W4.reshape(nl2, c0, c1 * (c2 + 1))[:, :, : win_len(sm)]
+    return jnp.pad(
+        Ww, ((0, 0), (0, c0p - c0), (0, _wl_padded(sm) - win_len(sm)))
+    )
+
+
+def make_bicgstab_iter(
+    sm: StructuredMap, d: int, pair_block: int = 8, interpret: bool = False
+):
+    """ONE batched-BiCGStab iteration as a single kernel.
+
+    fn(W_win, x, r, p, rhat, zmask, invd, rho, rnorm, iters, tol)
+      -> (x', r', p', v, t, rho', rnorm', iters')
+
+    State arrays are plane-flat (d, nch, n0+1, L); scalars are (d,).
+    ``zmask`` is 0.0 on Dirichlet rows, 1.0 elsewhere (the matvec output is
+    zeroed there: bc rows carry the identity operator and all Krylov
+    vectors are 0 on them — callers pre-set x0's bc rows to the bc values).
+    ``invd`` is the Jacobi inverse diagonal.  v and t are exposed (not
+    scratch) only because Mosaic's scoped-VMEM stack cannot hold them; the
+    caller discards them.  Semantics == la/krylov.py:bicgstab_batched
+    (active-row freezing included).
+    """
+    pfs = pf_shape(sm)
+    nch, nrow, L = pfs
+    cells = sm[1]
+    c0 = cells[0]
+    c0p = _c0_padded(sm)
+    WL = win_len(sm)
+    WLp = _wl_padded(sm)
+    slots = _pf_slots(sm)
+    nl = len(slots)
+    npairs = nl * nl
+    nblocks = -(-npairs // pair_block)
+    shape = (d,) + pfs
+
+    def matvec_phase(src_ref, acc_ref, w_hbm, wbuf, sem):
+        """acc (zeroed by caller) += A_W src, streaming W_win pair blocks."""
+
+        def dma(blk, slot):
+            a = blk * pair_block
+            b = min(a + pair_block, npairs)
+            return pltpu.make_async_copy(
+                w_hbm.at[pl.ds(a, b - a)], wbuf.at[slot, pl.ds(0, b - a)], sem.at[slot]
+            )
+
+        dma(0, 0).start()
+        for blk in range(nblocks):
+            slot = blk % 2
+            if blk + 1 < nblocks:
+                dma(blk + 1, (blk + 1) % 2).start()
+            dma(blk, slot).wait()
+            for k in range(pair_block):
+                pair = blk * pair_block + k
+                if pair >= npairs:
+                    break
+                to, ti = divmod(pair, nl)
+                cho, bo0, offo = slots[to]
+                chi, bi0, offi = slots[ti]
+                w = wbuf[slot, k, :c0, :WL]  # rows/lanes beyond are pad
+                acc_ref[:, cho, bo0 : bo0 + c0, offo : offo + WL] += (
+                    w * src_ref[:, chi, bi0 : bi0 + c0, offi : offi + WL]
+                )
+
+    def kernel(
+        w_hbm, x_ref, r_ref, p_ref, rhat_ref, zm_ref, invd_ref,
+        rho_ref, rn_ref, it_ref, tol_ref,
+        xo_ref, ro_ref, po_ref, v_ref, t_ref, rhoo_ref, rno_ref, ito_ref,
+        acc_ref, wbuf, sem,
+    ):
+        invd = invd_ref[:]
+
+        # --- phase A: v = zmask * A (invd * p) ---------------------------
+        for b in range(d):
+            t_ref[b] = invd * p_ref[b]  # phat
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        matvec_phase(t_ref, acc_ref, w_hbm, wbuf, sem)
+        for b in range(d):
+            v_ref[b] = zm_ref[b] * acc_ref[b]
+
+        # --- phase B: alpha, s (into ro), shat (into t) ------------------
+        # inputs are read-only: s is written through the aliased OUTPUT ref
+        # ro and read back from it (same underlying buffer as r)
+        alphas, actives, rhos = [], [], []
+        for b in range(d):
+            active = rn_ref[b] > tol_ref[b]
+            rho = rho_ref[b]
+            rv = jnp.sum(rhat_ref[b] * v_ref[b])
+            alpha = rho / jnp.where(rv != 0, rv, 1.0)
+            s = r_ref[b] - alpha * v_ref[b]
+            ro_ref[b] = s  # ro holds s
+            t_ref[b] = invd * s  # shat
+            alphas.append(alpha)
+            actives.append(active)
+            rhos.append(rho)
+
+        # --- phase C: t = zmask * A shat ---------------------------------
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        matvec_phase(t_ref, acc_ref, w_hbm, wbuf, sem)
+        for b in range(d):
+            t_ref[b] = zm_ref[b] * acc_ref[b]
+
+        # --- phase D: omega, x, r_new, rho_new, beta, p ------------------
+        for b in range(d):
+            active, alpha, rho = actives[b], alphas[b], rhos[b]
+            s = ro_ref[b]
+            tv = t_ref[b]
+            tt = jnp.sum(tv * tv)
+            ts = jnp.sum(tv * s)
+            omega = ts / jnp.where(tt != 0, tt, 1.0)
+            dx = alpha * (invd * p_ref[b]) + omega * (invd * s)
+            xo_ref[b] = x_ref[b] + jnp.where(active, 1.0, 0.0) * dx
+            r_new = s - omega * tv
+            r_new = jnp.where(active, r_new, s + alpha * v_ref[b])  # restore r
+            ro_ref[b] = r_new
+            rho_new = jnp.where(active, jnp.sum(rhat_ref[b] * r_new), rho)
+            beta = (rho_new / jnp.where(rho != 0, rho, 1.0)) * (
+                alpha / jnp.where(omega != 0, omega, 1.0)
+            )
+            p_new = r_new + beta * (p_ref[b] - omega * v_ref[b])
+            po_ref[b] = jnp.where(active, p_new, p_ref[b])
+            rhoo_ref[b] = rho_new
+            rno_ref[b] = jnp.where(
+                active, jnp.sqrt(jnp.sum(r_new * r_new)), rn_ref[b]
+            )
+            ito_ref[b] = it_ref[b] + active.astype(jnp.int32)
+
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    @jax.jit
+    def step(W_win, x, r, p, rhat, zmask, invd, rho, rnorm, iters, tol):
+        return pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct(shape, x.dtype),      # x'
+                jax.ShapeDtypeStruct(shape, x.dtype),      # r'
+                jax.ShapeDtypeStruct(shape, x.dtype),      # p'
+                jax.ShapeDtypeStruct(shape, x.dtype),      # v (discard)
+                jax.ShapeDtypeStruct(shape, x.dtype),      # t (discard)
+                jax.ShapeDtypeStruct((d,), x.dtype),       # rho'
+                jax.ShapeDtypeStruct((d,), x.dtype),       # rnorm'
+                jax.ShapeDtypeStruct((d,), jnp.int32),     # iters'
+            ),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+            + [vmem()] * 6
+            + [smem()] * 4,
+            out_specs=(vmem(),) * 5 + (smem(),) * 3,
+            scratch_shapes=[
+                pltpu.VMEM(shape, x.dtype),
+                pltpu.VMEM((2, pair_block, c0p, WLp), x.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            input_output_aliases={1: 0, 2: 1, 3: 2},  # x, r, p in-place
+            interpret=interpret,
+        )(W_win, x, r, p, rhat, zmask, invd, rho, rnorm, iters, tol)
+
+    return step
+
+
+def bicgstab_fused_from_r0(
+    iter_fn, W_win, r0_pf, x0_pf, zmask_pf, invd_pf, bnorm, rtol, maxiter,
+    atol=1e-50,
+):
+    """Run the fused iteration from a precomputed initial residual
+    r0 = zmask * (b - A x0) (the caller does the init matvec in XLA; bc
+    rows of x0 hold the bc values so r0 is 0 there).  ``bnorm`` is the
+    per-row ||b|| used for the relative tolerance (matching
+    bicgstab_batched, which includes bc rows in ||b||)."""
+    d = r0_pf.shape[0]
+    dt_ = r0_pf.dtype
+    tol = jnp.maximum(rtol * bnorm, atol).astype(dt_)
+    rho0 = jnp.sum(r0_pf * r0_pf, axis=(1, 2, 3))
+    rnorm0 = jnp.sqrt(rho0)
+    rhat = r0_pf
+
+    def cond(c):
+        x, r, p, rho, rnorm, iters, k = c
+        return jnp.any(rnorm > tol) & (k < maxiter)
+
+    def body(c):
+        x, r, p, rho, rnorm, iters, k = c
+        x, r, p, _v, _t, rho, rnorm, iters = iter_fn(
+            W_win, x, r, p, rhat, zmask_pf, invd_pf, rho, rnorm, iters, tol
+        )
+        return (x, r, p, rho, rnorm, iters, k + 1)
+
+    x, r, p, rho, rnorm, iters, k = jax.lax.while_loop(
+        cond,
+        body,
+        (x0_pf, r0_pf, r0_pf, rho0.astype(dt_), rnorm0.astype(dt_),
+         jnp.zeros(d, jnp.int32), jnp.int32(0)),
+    )
+    return x, iters, rnorm, rnorm <= tol

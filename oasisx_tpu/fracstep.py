@@ -395,6 +395,7 @@ class FractionalStep_AB_CN:
         self._pallas_tent = None
         self._pallas_mass = None
         self._pallas_cg_step = None
+        self._pallas_bicgstab = None
         opts = options or {}
         # NOTE: jax.default_backend() stays 'tpu' inside a
         # jax.default_device(cpu) scope, so probe the actual placement
@@ -517,11 +518,21 @@ class FractionalStep_AB_CN:
             self._pallas_T = jnp.asarray(
                 po.conv_weight_tensor(self._cu), dtype=self._dtype
             )
+            # fused one-op-per-iteration batched BiCGStab for the tentative
+            # solves (round 3: the XLA iteration body cost ~316 dispatched
+            # ops on the relay backend — ~60% of all per-step ops)
+            self._pallas_bicgstab = None
+            if self._solver_u.method == "bcgs" and opts.get("pallas_bicgstab", True):
+                self._pallas_bicgstab = po.make_bicgstab_iter(sm_v, d)
+                self._pf_zmask = po.to_planeflat(
+                    jnp.where(self._bc_masks, 0.0, 1.0).astype(self._dtype), sm_v
+                )
             logger.info("pallas velocity kernels enabled")
         except Exception as e:  # pragma: no cover - fallback path
             logger.warning("pallas velocity kernels unavailable: %s", e)
             self._pallas_tent = None
             self._pallas_mass = None
+            self._pallas_bicgstab = None
 
     def _build_cheb(self, solver_options: dict | None) -> None:
         """Chebyshev-Jacobi pressure preconditioner for the cases MG and
@@ -867,6 +878,12 @@ class FractionalStep_AB_CN:
             b_first = self._pallas_rhs(W, u1, 2.0 / dt) + P["b0"]
             # uq for the Jacobi diagonal (Q-point convecting velocity)
             uq = jnp.einsum("qm,gmc->gqc", cu_.Phi, U)
+            if self._pallas_bicgstab is not None:
+                from .assembly import pallas_ops as po
+
+                # windowed layout for the fused one-op-per-iteration solver
+                W_win = po.build_w_win(W, self._ctx.sv)
+                return uab, ((1.0 / dt, 0.5 * nu), W, uq, W_win), b_first
             return uab, ((1.0 / dt, 0.5 * nu), W, uq), b_first
         if self._co is not None:
             co = P["co"]
@@ -910,7 +927,7 @@ class FractionalStep_AB_CN:
             return mv
         ctx, masks = P["ctx"], P["bc_masks"]
         if self._pallas_tent is not None:
-            _, W, _uq = A_lhs
+            W = A_lhs[1]
 
             def mv(x):
                 return eng.apply_bc_rows(masks, self._pallas_tent(W, x), x)
@@ -937,7 +954,7 @@ class FractionalStep_AB_CN:
             return dA0 + 0.5 * sl.conv_diag_slab(P["cu"], uq, info.sm_v_loc, ax)
         ctx = P["ctx"]
         if self._pallas_tent is not None:
-            (a, b), _W, uq = A_lhs
+            (a, b), uq = A_lhs[0], A_lhs[2]
             return (
                 a * P["M_diag"]
                 + b * P["K_diag"]
@@ -976,6 +993,34 @@ class FractionalStep_AB_CN:
         diag = jnp.where(P["bc_masks"], 1.0, self._tentative_diag(P, A_lhs)[None, :])
         M = jacobi_preconditioner(diag)
         s = self._solver_u
+        if self._pallas_bicgstab is not None and len(A_lhs) == 4:
+            # fused path: ONE Pallas op per BiCGStab iteration (all d
+            # components, both matvecs, preconditioner, reductions).  Init
+            # (r0 and tolerance) stays in XLA; bc rows are handled by
+            # pre-setting x0 to the bc values so every Krylov vector is 0
+            # there (equivalent to the identity-row operator of the XLA
+            # path, which this replaces semantically 1:1).
+            from .assembly import pallas_ops as po
+            from .la.krylov import _effective_rtol
+
+            sm_v = self._ctx.sv
+            W_win = A_lhs[3]
+            masks = P["bc_masks"]
+            rhs = jnp.where(masks, bc_vals, rhs1)
+            x0 = jnp.where(masks, bc_vals, u)
+            r0 = jnp.where(masks, 0.0, rhs - matvec(x0))
+            bnorm = jnp.sqrt(jnp.sum(rhs * rhs, axis=-1))
+            dfull = self._tentative_diag(P, A_lhs)
+            invd = jnp.where(dfull != 0, 1.0 / jnp.where(dfull != 0, dfull, 1.0), 1.0)
+            pf = lambda a: po.to_planeflat(a, sm_v)
+            rtol = _effective_rtol(s.rtol, np.float32)
+            x_pf, iters, rnorm, conv = po.bicgstab_fused_from_r0(
+                self._pallas_bicgstab, W_win, pf(r0), pf(x0), self._pf_zmask,
+                pf(invd), bnorm, rtol, int(s.maxiter), atol=s.atol,
+            )
+            x = po.from_planeflat(x_pf, sm_v)
+            diff = jnp.sum(jnp.sqrt(jnp.sum((x - u) ** 2, axis=-1)))
+            return x, diff, iters, conv
         if self._co is not None or self._pallas_tent is not None or self._slab is not None:
             # all components share each op (batched Krylov: one batched
             # matvec per iteration for the whole (d, n) block)
@@ -1002,8 +1047,15 @@ class FractionalStep_AB_CN:
             )
             M_i = jacobi_preconditioner(diag[i])
             rhs = jnp.where(mask_i, bc_vals[i], rhs1[i])
-            solver = cg if s.method == "cg" else bicgstab
-            res = solver(mv_i, rhs, x0=u[i], M=M_i, rtol=s.rtol, atol=s.atol, maxiter=s.maxiter)
+            if s.method == "gmres":
+                from .la import gmres as _gmres
+
+                res = _gmres(mv_i, rhs, x0=u[i], M=M_i, rtol=s.rtol,
+                             atol=s.atol, maxiter=s.maxiter,
+                             restart=s.gmres_restart)
+            else:
+                solver = cg if s.method == "cg" else bicgstab
+                res = solver(mv_i, rhs, x0=u[i], M=M_i, rtol=s.rtol, atol=s.atol, maxiter=s.maxiter)
             us.append(res.x)
             iters.append(res.iters)
             conv.append(res.converged)
@@ -1259,6 +1311,14 @@ class FractionalStep_AB_CN:
         return new_state, stats
 
     def _build_step(self) -> None:
+        if self._solver_u.method == "gmres" and (
+            self._co is not None or self._pallas_tent is not None or self._slab is not None
+        ):
+            logger.info(
+                "ksp_type gmres requested for the tentative solves; the "
+                "structured fast path runs batched BiCGStab instead (GMRES "
+                "is available on the general/unstructured path)"
+            )
         if self._slab is not None:
             from jax.sharding import PartitionSpec as Pspec
 

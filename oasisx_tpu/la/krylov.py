@@ -424,3 +424,116 @@ def estimate_lmax(matvec: Callable, inv_diag: jax.Array, iters: int = 15, seed: 
             break
         v = w / nw
     return abs(lam) * 1.05
+
+
+def gmres(
+    A: Callable,
+    b: jax.Array,
+    x0: jax.Array | None = None,
+    M: Callable | None = None,
+    rtol: float = 1e-10,
+    atol: float = 1e-50,
+    maxiter: int = 1000,
+    restart: int = 30,
+    axis: str | None = None,
+) -> KrylovResult:
+    """Restarted GMRES(m) for nonsymmetric operators (VERDICT r2 item 7;
+    reference accepts any PETSc ksp_type, /root/reference/src/oasisx/ksp.py:55-61).
+
+    Left-preconditioned (PETSc's GMRES default): the Arnoldi process runs
+    on M A and the convergence test uses the preconditioned residual norm
+    relative to ||M b|| — matching PETSc's default ``ksp_norm_type
+    preconditioned``.  Modified Gram-Schmidt with Givens rotations; each
+    cycle runs the full ``restart`` Arnoldi steps (converged/broken-down
+    steps are masked no-ops) so the program is a fixed-shape lax loop nest.
+    """
+    M = M or _identity
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    rtol = _effective_rtol(rtol, b.dtype)
+    _vdot, _norm = _make_reducers(axis)
+    m = int(restart)
+    n = b.shape[0]
+
+    Mb = M(b)
+    bnorm = _norm(Mb)
+    tol = jnp.maximum(rtol * bnorm, atol)
+
+    def cycle(x, it, nmv):
+        r = M(b - A(x))
+        beta = _norm(r)
+        V0 = jnp.zeros((m + 1, n), b.dtype)
+        V0 = V0.at[0].set(jnp.where(beta > 0, r / jnp.where(beta > 0, beta, 1.0), r))
+        H0 = jnp.zeros((m + 1, m), b.dtype)
+        cs0 = jnp.ones(m, b.dtype)
+        sn0 = jnp.zeros(m, b.dtype)
+        g0 = jnp.zeros(m + 1, b.dtype).at[0].set(beta)
+
+        def arnoldi(j, carry):
+            V, H, cs, sn, g, it, nmv, live = carry
+            # live: this step still advances the solution (not converged,
+            # no breakdown). Converged/broken steps leave state unchanged.
+            w = M(A(V[j]))
+            # modified Gram-Schmidt against rows 0..j (mask the rest)
+            mask = (jnp.arange(m + 1) <= j)[:, None].astype(b.dtype)
+            h = (V * mask) @ w if axis is None else jax.lax.psum((V * mask) @ w, axis)
+            w = w - V.T @ (h * mask[:, 0])
+            hj1 = _norm(w)
+            ok = hj1 > 0
+            V = V.at[j + 1].set(jnp.where(ok & live, w / jnp.where(ok, hj1, 1.0), 0.0))
+            h = h.at[j + 1].set(jnp.where(ok, hj1, 0.0))
+            # apply stored Givens rotations to the new column
+            def rot(i, hcol):
+                hi, hi1 = hcol[i], hcol[i + 1]
+                return hcol.at[i].set(cs[i] * hi + sn[i] * hi1).at[i + 1].set(
+                    -sn[i] * hi + cs[i] * hi1
+                )
+            h = jax.lax.fori_loop(0, j, rot, h)
+            # new rotation annihilating h[j+1]
+            denom = jnp.sqrt(h[j] ** 2 + h[j + 1] ** 2)
+            c = jnp.where(denom > 0, h[j] / jnp.where(denom > 0, denom, 1.0), 1.0)
+            s = jnp.where(denom > 0, h[j + 1] / jnp.where(denom > 0, denom, 1.0), 0.0)
+            h = h.at[j].set(denom).at[j + 1].set(0.0)
+            live_step = live & ok
+            cs = cs.at[j].set(jnp.where(live_step, c, 1.0))
+            sn = sn.at[j].set(jnp.where(live_step, s, 0.0))
+            H = H.at[:, j].set(jnp.where(live_step, h, H[:, j].at[j].set(1.0)))
+            gj = g[j]
+            g = jnp.where(
+                live_step, g.at[j].set(c * gj).at[j + 1].set(-s * gj), g
+            )
+            res = jnp.abs(g[j + 1])
+            it = it + live.astype(jnp.int32)
+            nmv = nmv + 1
+            live = live_step & (res > tol) & (it < maxiter)
+            return (V, H, cs, sn, g, it, nmv, live)
+
+        V, H, cs, sn, g, it, nmv, live = jax.lax.fori_loop(
+            0, m, arnoldi, (V0, H0, cs0, sn0, g0, it, nmv, beta > tol)
+        )
+        # back-substitution on the m x m upper-triangular H (dead columns
+        # carry a unit diagonal and zero g, so they contribute nothing)
+        def back(i_rev, y):
+            i = m - 1 - i_rev
+            hii = H[i, i]
+            num = g[i] - H[i] @ y
+            return y.at[i].set(num / jnp.where(hii != 0, hii, 1.0))
+        y = jax.lax.fori_loop(0, m, back, jnp.zeros(m, b.dtype))
+        x = x + V[:m].T @ y
+        return x, it, nmv
+
+    def cond(carry):
+        x, it, nmv, rnorm = carry
+        return (rnorm > tol) & (it < maxiter)
+
+    def body(carry):
+        x, it, nmv, _ = carry
+        x, it, nmv = cycle(x, it, nmv)
+        rnorm = _norm(M(b - A(x)))
+        return (x, it, nmv, rnorm)
+
+    r0n = _norm(M(b - A(x0)))
+    x, it, nmv, rnorm = jax.lax.while_loop(
+        cond, body, (x0, jnp.int32(0), jnp.int32(0), r0n)
+    )
+    conv = rnorm <= tol
+    return KrylovResult(x, it, rnorm, conv, _reason(conv, jnp.asarray(False)))

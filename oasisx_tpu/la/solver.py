@@ -5,7 +5,10 @@ and its options-prefix discipline: plain nested dicts, no global mutable
 options database (SURVEY §5 config note). PETSc option names are accepted
 and translated:
 
-    ksp_type: cg | bcgs/bicgstab | preonly      (preonly -> tight Krylov)
+    ksp_type: cg | bcgs/bicgstab | gmres/fgmres | preonly
+              (preonly -> tight Krylov; any other PETSc ksp_type is
+              accepted and mapped to the family default with a logged
+              note, matching the reference's accept-anything options DB)
     pc_type:  jacobi | none | lu                (lu -> tight Krylov, SURVEY §4)
     ksp_rtol / ksp_atol / ksp_max_it
     ksp_error_if_not_converged
@@ -22,7 +25,7 @@ from typing import Callable
 
 import jax.numpy as jnp
 
-from .krylov import KrylovResult, bicgstab, cg, jacobi_preconditioner
+from .krylov import KrylovResult, bicgstab, cg, gmres, jacobi_preconditioner
 
 
 class KSPSolver:
@@ -55,15 +58,31 @@ class KSPSolver:
     # --- resolved solve parameters -----------------------------------------
     @property
     def method(self) -> str:
-        kt = str(self.options.get("ksp_type", "cg" if self.symmetric else "bcgs")).lower()
+        default = "cg" if self.symmetric else "bcgs"
+        kt = str(self.options.get("ksp_type", default)).lower()
         pc = str(self.options.get("pc_type", "jacobi")).lower()
         if kt == "preonly" or pc == "lu":
-            return "cg" if self.symmetric else "bcgs"
+            return default
         if kt in ("bcgs", "bicgstab"):
             return "bcgs"
         if kt == "cg":
             return "cg"
-        raise ValueError(f"unsupported ksp_type {kt!r}")
+        if kt in ("gmres", "fgmres", "lgmres", "dgmres", "pgmres"):
+            return "gmres"
+        # pass-through acceptance: the reference hands any ksp_type string
+        # to PETSc (src/oasisx/ksp.py:55-61); unknown types map to the
+        # family default with a logged note instead of raising
+        import logging
+
+        logging.getLogger("oasisx_tpu").info(
+            "ksp_type %r has no native TPU implementation; using %s for "
+            "the %s solves", kt, default, self.prefix or "unnamed",
+        )
+        return default
+
+    @property
+    def gmres_restart(self) -> int:
+        return int(self.options.get("ksp_gmres_restart", 30))
 
     @property
     def rtol(self) -> float:
@@ -107,6 +126,11 @@ class KSPSolver:
                 atol=self.atol,
                 maxiter=self.maxiter,
                 project_nullspace=nullspace,
+            )
+        if self.method == "gmres":
+            return gmres(
+                self._matvec, b, x0=x0, M=M, rtol=self.rtol, atol=self.atol,
+                maxiter=self.maxiter, restart=self.gmres_restart,
             )
         return bicgstab(
             self._matvec, b, x0=x0, M=M, rtol=self.rtol, atol=self.atol, maxiter=self.maxiter

@@ -162,3 +162,99 @@ def test_breakdown_reason():
     spd = jnp.asarray(Q @ Q.T + n * np.eye(n), jnp.float32)
     res = cg(lambda x: spd @ x, b, rtol=1e-6, maxiter=200)
     assert bool(res.converged) and int(res.reason) == 2
+
+
+def test_gmres_nonsymmetric_and_restart():
+    """GMRES(m) solves a nonsymmetric system; restarted cycles converge;
+    matches the BiCGStab solution (VERDICT r2 item 7)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from oasisx_tpu.la import bicgstab, gmres, jacobi_preconditioner
+
+    rng = np.random.default_rng(7)
+    n = 120
+    A = np.eye(n) * 4.0 + 0.5 * rng.standard_normal((n, n)) / np.sqrt(n)
+    A[0, n - 1] += 1.0  # decidedly nonsymmetric
+    Aj = jnp.asarray(A)
+    b = jnp.asarray(rng.standard_normal(n))
+    mv = lambda x: Aj @ x
+    M = jacobi_preconditioner(jnp.diagonal(Aj))
+
+    res = gmres(mv, b, M=M, rtol=1e-10, maxiter=500, restart=25)
+    assert bool(res.converged), (int(res.iters), float(res.resnorm))
+    xref = np.linalg.solve(A, np.asarray(b))
+    assert np.allclose(np.asarray(res.x), xref, atol=1e-7)
+
+    # tiny restart forces multiple cycles
+    res2 = gmres(mv, b, M=M, rtol=1e-10, maxiter=500, restart=8)
+    assert bool(res2.converged)
+    assert np.allclose(np.asarray(res2.x), xref, atol=1e-6)
+    assert int(res2.iters) >= int(res.iters)
+
+    rb = bicgstab(mv, b, M=M, rtol=1e-10, maxiter=500)
+    assert np.allclose(np.asarray(res.x), np.asarray(rb.x), atol=1e-6)
+
+
+def test_ksp_type_passthrough():
+    """Unknown ksp_type maps to the family default with a log note instead
+    of raising (reference accepts anything, ksp.py:55-61)."""
+    from oasisx_tpu.la import KSPSolver
+
+    s = KSPSolver({"ksp_type": "tfqmr"}, prefix="tentative_velocity", symmetric=False)
+    assert s.method == "bcgs"
+    s2 = KSPSolver({"ksp_type": "richardson"}, prefix="pressure_correction")
+    assert s2.method == "cg"
+    s3 = KSPSolver({"ksp_type": "gmres", "ksp_gmres_restart": 17}, symmetric=False)
+    assert s3.method == "gmres" and s3.gmres_restart == 17
+
+
+def test_cylinder_outlet_with_gmres_tentative():
+    """Cylinder-channel (unstructured, PressureBC outlet) steps stably with
+    ksp_type: gmres on the tentative solves — the reference's DFG 2D-2
+    config accepts any ksp_type (VERDICT r2 item 7 'done' criterion)."""
+    import numpy as np
+    from oasisx_tpu import DirichletBC, FractionalStep_AB_CN, LocatorMethod, PressureBC
+    from oasisx_tpu.meshes import meshtags
+    from oasisx_tpu.meshes.generation import create_cylinder_channel
+    from oasisx_tpu.meshes import locate_entities_boundary
+
+    mesh = create_cylinder_channel(18)
+    L, H = 2.2, 0.41
+    inlet = locate_entities_boundary(mesh, 1, lambda x: np.isclose(x[0], 0.0))
+    outlet = locate_entities_boundary(mesh, 1, lambda x: np.isclose(x[0], L))
+    ext = mesh.exterior_facet_indices()
+    others = np.setdiff1d(ext, np.hstack([inlet, outlet]))
+    facets = np.hstack([inlet, others, outlet])
+    values = np.hstack(
+        [np.full_like(inlet, 1), np.full_like(others, 2), np.full_like(outlet, 3)]
+    ).astype(np.int32)
+    tags = meshtags(mesh, 1, facets, values)
+
+    Um = 0.3
+    inflow = lambda x: 4.0 * Um * x[1] * (H - x[1]) / H**2
+    bcs_u = [
+        [DirichletBC(inflow, LocatorMethod.TOPOLOGICAL, (tags, 1)),
+         DirichletBC(0.0, LocatorMethod.TOPOLOGICAL, (tags, 2))],
+        [DirichletBC(0.0, LocatorMethod.TOPOLOGICAL, (tags, 1)),
+         DirichletBC(0.0, LocatorMethod.TOPOLOGICAL, (tags, 2))],
+    ]
+    solver = FractionalStep_AB_CN(
+        mesh,
+        ("Lagrange", 2),
+        ("Lagrange", 1),
+        bcs_u=bcs_u,
+        bcs_p=[PressureBC(0.0, (tags, 3))],
+        solver_options={
+            "tentative": {"ksp_type": "gmres", "ksp_rtol": 1e-8,
+                          "ksp_gmres_restart": 20},
+            "pressure": {"ksp_rtol": 1e-8},
+            "scalar": {"ksp_rtol": 1e-8},
+        },
+    )
+    assert solver._solver_u.method == "gmres"
+    for _ in range(3):
+        solver.solve(2e-3, 1e-3, max_iter=1)
+        assert solver.last_stats["u_converged"].all(), solver.last_stats
+        assert solver.last_stats["p_converged"]
+    u0 = solver._u[0].x.array
+    assert np.isfinite(u0).all() and np.abs(u0).max() < 1.0

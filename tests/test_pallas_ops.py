@@ -169,3 +169,81 @@ def test_cg_step_kernel():
     # solution matches on valid dofs (padding slots have zero rows)
     err = np.abs(np.asarray(mv(x) - b)).max()
     assert err < 1e-4, err
+
+
+def test_fused_bicgstab_iteration_kernel():
+    """ONE-op-per-iteration batched BiCGStab (plane-flat layout, windowed
+    weights) vs la.bicgstab_batched on the same tentative operator with
+    Dirichlet rows and a warm start (interpret mode)."""
+    from oasisx_tpu.la import bicgstab_batched, jacobi_preconditioner
+
+    mesh, ctx, refs, ops, (sm_v, gf_v, _), _ = setup(3, 4, 2, 1)
+    rng = np.random.default_rng(16)
+    d = mesh.dim
+    nl = ops.M_c.shape[0]
+    npad = int(np.prod(po._grid_shape(sm_v)))
+
+    g = lambda: _grid(rng.standard_normal(ctx.ndofs_v), gf_v, sm_v)
+    uab = jnp.asarray(np.stack([g() for _ in range(d)]))
+    a, bb = 5.0, 0.2
+    A0 = np.asarray(a * ops.M_c + bb * ops.K_c)
+    u27 = jnp.stack([cu.cube_gather(uab[i], sm_v) for i in range(d)]).reshape(d * nl, -1)
+    T = po.conv_weight_tensor(ops)
+    Wc = jnp.asarray(T, A0.dtype).T @ u27
+    W = (jnp.asarray(A0.reshape(-1, 1)) + 0.5 * Wc).reshape(nl, nl, -1)
+    uq = cu.conv_uq(ops, uab)
+
+    # Dirichlet rows: pin the x0=0 grid face (a real boundary dof set)
+    pshape = po._grid_shape(sm_v)
+    maskg = np.zeros(pshape, bool)
+    maskg[:, 0] = True
+    mask1 = jnp.asarray(maskg.reshape(-1))
+    masks = jnp.stack([mask1] * d)
+    bcvals = jnp.asarray(np.stack([g() for _ in range(d)])) * mask1
+
+    diag = a * cu.diag_cube(ops.M_c, sm_v) + bb * cu.diag_cube(ops.K_c, sm_v)
+    diag = diag + 0.5 * cu.conv_diag(ops, uq)
+    diag_bc = jnp.where(masks, 1.0, diag[None, :])
+
+    def matvec(x):
+        y = jnp.stack(
+            [cu.tentative_matvec_local(ops, jnp.asarray(A0), uq, x[i]) for i in range(d)]
+        )
+        return jnp.where(masks, x, y)
+
+    b_raw = jnp.asarray(np.stack([g() for _ in range(d)]))
+    rhs = jnp.where(masks, bcvals, b_raw)
+    u0 = jnp.asarray(np.stack([g() for _ in range(d)])) * 0.1
+    x0 = jnp.where(masks, bcvals, u0)
+
+    rtol = 1e-9
+    ref = bicgstab_batched(
+        matvec, rhs, x0=x0, M=jacobi_preconditioner(diag_bc), rtol=rtol, maxiter=60
+    )
+
+    # fused path
+    W_win = po.build_w_win(W, sm_v)
+    pf = lambda v: po.to_planeflat(v, sm_v)
+    zmask = pf(jnp.where(masks, 0.0, 1.0))
+    invd = pf(jnp.where(diag != 0, 1.0 / jnp.where(diag != 0, diag, 1.0), 1.0))
+    r0 = pf(jnp.where(masks, 0.0, rhs - matvec(x0)))
+    bnorm = jnp.sqrt(jnp.sum(rhs * rhs, axis=-1)).reshape(d, 1, 1, 1)[:, 0, 0, 0]
+    it_fn = po.make_bicgstab_iter(sm_v, d, interpret=True)
+    x, iters, rnorm, conv = po.bicgstab_fused_from_r0(
+        it_fn, W_win, r0, pf(x0), zmask, invd, bnorm, rtol, maxiter=60
+    )
+    x = po.from_planeflat(x, sm_v)
+
+    assert bool(np.asarray(conv).all()), (np.asarray(iters), np.asarray(rnorm))
+    assert bool(np.asarray(ref.converged).all())
+    # same solution to solver tolerance; iteration counts comparable
+    scale = np.abs(np.asarray(ref.x)).max()
+    err = np.abs(np.asarray(x) - np.asarray(ref.x)).max() / scale
+    assert err < 1e-7, err
+    assert np.abs(np.asarray(iters) - np.asarray(ref.iters)).max() <= 2, (
+        np.asarray(iters), np.asarray(ref.iters))
+    # true residual of the fused solution is at tolerance
+    res = np.asarray(rhs - matvec(x))
+    rn = np.sqrt((res**2).sum(axis=-1))
+    bn = np.asarray(bnorm)
+    assert (rn <= 3 * rtol * bn).all(), rn / bn
