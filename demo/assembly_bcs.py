@@ -69,9 +69,10 @@ def main(argv=None):
         t_lm, A_lm, rhs_lm = run_strategy(s_lm, dt, nu, args.repeats)
         t_mv, A_mv, rhs_mv = run_strategy(s_mv, dt, nu, args.repeats)
         err = np.abs(rhs_lm - rhs_mv).max()
-        # tolerance scales with dtype: 1e-14-level in f64 (the reference's
-        # gate), roundoff-level in f32 TPU runs
-        rtol = 5e3 * np.finfo(rhs_lm.dtype).eps
+        # tolerance scales with the COMPUTE dtype (Function.x.array is
+        # f64 host storage even for f32 device runs): 1e-14-level in f64
+        # (the reference's gate), roundoff-level in f32 TPU runs
+        rtol = 5e3 * np.finfo(np.dtype(s_lm._dtype)).eps
         if err > rtol * max(1.0, np.abs(rhs_lm).max()):
             raise RuntimeError(f"RHS mismatch between strategies: {err}")
         if A_lm is not None and np.abs(A_lm - A_mv).max() > rtol * np.abs(A_lm).max():

@@ -13,6 +13,7 @@ Usage: python docs/build.py [--fast] [--skip-execute]
 
 import argparse
 import html
+import os
 import shutil
 import subprocess
 import sys
@@ -26,10 +27,12 @@ PAGES = ["index.md", "splitting_schemes.md", "tpu_architecture.md", "api.md"]
 DEMOS = {
     "taylor_green": ["-N", "4", "-N", "8", "-dt", "0.02", "-T1", "0.2"],
     "assembly_strategies": ["--dim", "2", "--max-degree", "2", "-n", "4"],
+    "assembly_bcs": ["--dim", "2", "--max-degree", "2", "-n", "4"],
 }
 DEMOS_FULL = {
     "taylor_green": ["-N", "8", "-N", "16", "-N", "32", "-dt", "0.005", "-T1", "0.5"],
     "assembly_strategies": ["--dim", "2", "--max-degree", "3", "-n", "8"],
+    "assembly_bcs": ["--dim", "3", "--max-degree", "2", "-n", "8"],
 }
 
 
@@ -96,9 +99,20 @@ def main() -> int:
         if args.skip_execute:
             output = "(execution skipped)"
         else:
+            cmd = [sys.executable, str(ROOT / "demo" / f"{name}.py"), *flags]
+            if os.environ.get("DOCS_FORCE_CPU"):
+                # some images pre-import jax on an accelerator platform and
+                # ignore JAX_PLATFORMS; force CPU before the demo executes
+                cmd = [
+                    sys.executable, "-c",
+                    "import sys, jax; jax.config.update('jax_platforms', 'cpu');"
+                    "t = sys.argv[1]; sys.argv = sys.argv[1:];"
+                    "exec(compile(open(t).read(), t, 'exec'),"
+                    " {'__name__': '__main__', '__file__': t})",
+                    str(ROOT / "demo" / f"{name}.py"), *flags,
+                ]
             r = subprocess.run(
-                [sys.executable, str(ROOT / "demo" / f"{name}.py"), *flags],
-                capture_output=True, text=True, timeout=3600, cwd=ROOT,
+                cmd, capture_output=True, text=True, timeout=3600, cwd=ROOT,
             )
             output = (r.stdout + r.stderr)[-8000:]
             if r.returncode != 0:

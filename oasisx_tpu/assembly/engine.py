@@ -78,6 +78,15 @@ class DeviceContext:
     # vectors are in grid (C-order lattice) ordering.
     sv: tuple | None = field(default=None, metadata=dict(static=True))
     sq: tuple | None = field(default=None, metadata=dict(static=True))
+    # owned-dof halo mode (parallel/graph.py): when set, dof vectors are
+    # per-shard [owned|halo|sentinel] blocks; gathers refresh halos via
+    # ppermute first and scatters fold halo contributions to their owners
+    # instead of psumming the full vector (the reference's IndexMap
+    # scatter_forward / scatter_reverse(add), SURVEY L0).
+    halo_v: tuple | None = None  # (packs, unpacks, ownmask) pytree
+    halo_q: tuple | None = None
+    deltas_v: tuple = field(default=(), metadata=dict(static=True))
+    deltas_q: tuple = field(default=(), metadata=dict(static=True))
 
 
 def build_transpose_map(cell_dofs: np.ndarray, num_dofs: int) -> np.ndarray:
@@ -177,6 +186,11 @@ def scatter_v(ctx: DeviceContext, vals: jax.Array) -> jax.Array:
         from .structured import structured_scatter
 
         return structured_scatter(vals, ctx.sv, ctx.axis)
+    if ctx.halo_v is not None:
+        from ..parallel.graph import halo_fold
+
+        y = _transpose_scatter(vals, ctx.pos_v, None)
+        return halo_fold(y, ctx.halo_v, ctx.deltas_v, ctx.axis)
     if ctx.pos_v is not None:
         return _transpose_scatter(vals, ctx.pos_v, ctx.axis)
     return scatter_add(vals, ctx.cd_v, ctx.ndofs_v, ctx.axis)
@@ -187,6 +201,11 @@ def scatter_q(ctx: DeviceContext, vals: jax.Array) -> jax.Array:
         from .structured import structured_scatter
 
         return structured_scatter(vals, ctx.sq, ctx.axis)
+    if ctx.halo_q is not None:
+        from ..parallel.graph import halo_fold
+
+        y = _transpose_scatter(vals, ctx.pos_q, None)
+        return halo_fold(y, ctx.halo_q, ctx.deltas_q, ctx.axis)
     if ctx.pos_q is not None:
         return _transpose_scatter(vals, ctx.pos_q, ctx.axis)
     return scatter_add(vals, ctx.cd_q, ctx.ndofs_q, ctx.axis)
@@ -198,6 +217,10 @@ def gather_v(ctx: DeviceContext, x: jax.Array) -> jax.Array:
         from .structured import structured_gather
 
         return structured_gather(x, ctx.sv)
+    if ctx.halo_v is not None:
+        from ..parallel.graph import halo_refresh
+
+        x = halo_refresh(x, ctx.halo_v, ctx.deltas_v, ctx.axis)
     return x[ctx.cd_v]
 
 
@@ -206,6 +229,10 @@ def gather_q(ctx: DeviceContext, x: jax.Array) -> jax.Array:
         from .structured import structured_gather
 
         return structured_gather(x, ctx.sq)
+    if ctx.halo_q is not None:
+        from ..parallel.graph import halo_refresh
+
+        x = halo_refresh(x, ctx.halo_q, ctx.deltas_q, ctx.axis)
     return x[ctx.cd_q]
 
 

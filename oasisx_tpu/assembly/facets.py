@@ -128,11 +128,20 @@ def pressure_surface_vecs(
     core = jnp.einsum("q,fq,fqbj->fbj", fctx.qw, p_qvals, dphi)
     re = jnp.einsum("f,fg,fbg,fbj->gfj", fctx.scale, fctx.normal, Kc, core)
     cd = ctx.cd_v[fctx.cells]  # (nf, ndv)
+    if ctx.halo_v is not None:
+        from ..parallel.graph import halo_fold
+
+        y = jax.vmap(lambda v: scatter_add(v, cd, ctx.ndofs_v, None))(re)
+        return halo_fold(y, ctx.halo_v, ctx.deltas_v, ctx.axis)
     return jax.vmap(lambda v: scatter_add(v, cd, ctx.ndofs_v, ctx.axis))(re)
 
 
 def facet_eval_q(ctx: DeviceContext, fctx: FacetContext, p: jax.Array) -> jax.Array:
     """Values of a Q-function at facet quadrature points: (nf, nqf)."""
+    if ctx.halo_q is not None:
+        from ..parallel.graph import halo_refresh
+
+        p = halo_refresh(p, ctx.halo_q, ctx.deltas_q, ctx.axis)
     pe = p[ctx.cd_q[fctx.cells]]  # (nf, m)
     phi = fctx.phi_q[fctx.local]  # (nf, nqf, m)
     return jnp.einsum("fqm,fm->fq", phi, pe)

