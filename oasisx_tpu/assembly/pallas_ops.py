@@ -625,6 +625,22 @@ def win_len(sm: StructuredMap) -> int:
     return (cells[2] + 1) * (cells[1] - 1) + cells[2]
 
 
+def _seam_mask(sm: StructuredMap) -> np.ndarray:
+    """(WL,) f64 mask zeroing the plane-seam wrap positions of a window
+    (j %% (c2+1) == c2): the windowed-FMA layout covers the (c1, c2) block
+    as one flat lane range, and the wrap columns carry values from the
+    neighbouring row that must not contribute.  The streamed-W kernels
+    embed these zeros in W_win; baked-constant kernels multiply the summed
+    window by this mask instead."""
+    cells = sm[1]
+    WL = win_len(sm)
+    if len(cells) == 2:
+        return np.ones(WL)
+    c2 = cells[2]
+    j = np.arange(WL)
+    return (j % (c2 + 1) != c2).astype(np.float64)
+
+
 def _pf_slots(sm: StructuredMap):
     """Per slot: (channel, row offset b0, lane offset off)."""
     cells = sm[1]
@@ -880,3 +896,315 @@ def bicgstab_fused_from_r0(
          jnp.zeros(d, jnp.int32), jnp.int32(0)),
     )
     return x, iters, rnorm, rnorm <= tol
+
+
+# ---------------------------------------------------------------------------
+# plane-flat kernels with BAKED constant cube matrices (round 3): the
+# velocity-update mass solves and the inner-loop mixed-operator glue
+# (divergence, pressure gradients) collapse to one op each.  Windows are
+# identical across spaces sharing one cube lattice (win_len depends only
+# on the cell counts), so V<->Q mixed operators use the same offset-slice
+# FMA machinery with (slot_out, slot_in) pairs across the two slot sets.
+# ---------------------------------------------------------------------------
+
+
+def pf_const_matvec_body(dst_ref, src_ref, C, sm_out, sm_in, mask, accumulate=False):
+    """dst (+)= A src with a BAKED (nl_out, nl_in) cube matrix; refs are
+    batched plane-flat (d, nch, n0+1, L).  Output-slot-major register
+    accumulation; zero entries skipped.  ``mask`` is the (WL,) seam-mask
+    VALUE (pallas kernels may not capture array constants)."""
+    cells = sm_out[1]
+    assert tuple(cells) == tuple(sm_in[1])
+    c0 = cells[0]
+    WL = win_len(sm_out)
+    so = _pf_slots(sm_out)
+    si = _pf_slots(sm_in)
+    C = np.asarray(C, np.float64)
+    for to, (cho, bo0, offo) in enumerate(so):
+        tmp = None
+        for ti, (chi, bi0, offi) in enumerate(si):
+            c = float(C[to, ti])
+            if c == 0.0:
+                continue
+            contrib = c * src_ref[:, chi, bi0 : bi0 + c0, offi : offi + WL]
+            tmp = contrib if tmp is None else tmp + contrib
+        if tmp is None:
+            continue
+        odx = (slice(None), cho, slice(bo0, bo0 + c0), slice(offo, offo + WL))
+        if accumulate:
+            dst_ref[odx] += mask * tmp
+        else:
+            dst_ref[odx] = mask * tmp
+
+
+def make_cg_iter_pf(sm, C, d, interpret: bool = False):
+    """ONE batched preconditioned-CG iteration as a single kernel (baked
+    constant operator C, Jacobi preconditioner, active-row freezing) —
+    the velocity-update mass solves (cg_batched semantics,
+    la/krylov.py:268-313).
+
+    fn(x, r, z?, p, invd, rz, rnorm, iters, tol) — state plane-flat
+    (d, nch, n0+1, L); scalars (d,).
+    Returns (x', r', p', rz', rnorm', iters')."""
+    pfs = pf_shape(sm)
+    shape = (d,) + pfs
+
+    mask_h = _seam_mask(sm)
+
+    def kernel(
+        x_ref, r_ref, p_ref, invd_ref, mask_ref, rz_ref, rn_ref, it_ref, tol_ref,
+        xo_ref, ro_ref, po_ref, rzo_ref, rno_ref, ito_ref, acc_ref,
+    ):
+        invd = invd_ref[:]
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        pf_const_matvec_body(acc_ref, p_ref, C, sm, sm, mask_ref[:], accumulate=True)
+        for b in range(d):
+            active = rn_ref[b] > tol_ref[b]
+            rz = rz_ref[b]
+            Ap = acc_ref[b]
+            p = p_ref[b]
+            pAp = jnp.sum(p * Ap)
+            alpha = jnp.where(active, rz / jnp.where(pAp != 0, pAp, 1.0), 0.0)
+            xo_ref[b] = x_ref[b] + alpha * p
+            r_new = r_ref[b] - alpha * Ap
+            ro_ref[b] = r_new
+            z = invd * r_new
+            rz_new = jnp.where(active, jnp.sum(r_new * z), rz)
+            beta = jnp.where(active, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
+            po_ref[b] = jnp.where(active, z + beta * p, p)
+            rzo_ref[b] = rz_new
+            rno_ref[b] = jnp.where(active, jnp.sqrt(jnp.sum(r_new * r_new)), rn_ref[b])
+            ito_ref[b] = it_ref[b] + active.astype(jnp.int32)
+
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    @jax.jit
+    def step(x, r, p, invd, rz, rnorm, iters, tol):
+        return pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct(shape, x.dtype),
+                jax.ShapeDtypeStruct(shape, x.dtype),
+                jax.ShapeDtypeStruct(shape, x.dtype),
+                jax.ShapeDtypeStruct((d,), x.dtype),
+                jax.ShapeDtypeStruct((d,), x.dtype),
+                jax.ShapeDtypeStruct((d,), jnp.int32),
+            ),
+            in_specs=[vmem()] * 5 + [smem()] * 4,
+            out_specs=(vmem(),) * 3 + (smem(),) * 3,
+            scratch_shapes=[pltpu.VMEM(shape, x.dtype)],
+            input_output_aliases={0: 0, 1: 1, 2: 2},
+            interpret=interpret,
+        )(x, r, p, invd, jnp.asarray(mask_h, x.dtype), rz, rnorm, iters, tol)
+
+    return step
+
+
+def cg_pf_solve(iter_fn, matvec, b_pf, x0_pf, invd_pf, rtol, maxiter, atol=1e-50):
+    """Batched CG driven by the one-iteration kernel; ``matvec`` does the
+    XLA init residual (shares semantics with cg_batched)."""
+    d = b_pf.shape[0]
+    dt_ = b_pf.dtype
+    bnorm = jnp.sqrt(jnp.sum(b_pf * b_pf, axis=(1, 2, 3)))
+    tol = jnp.maximum(rtol * bnorm, atol).astype(dt_)
+    r0 = b_pf - matvec(x0_pf)
+    z0 = invd_pf[None] * r0
+    rz0 = jnp.sum(r0 * z0, axis=(1, 2, 3)).astype(dt_)
+    rn0 = jnp.sqrt(jnp.sum(r0 * r0, axis=(1, 2, 3))).astype(dt_)
+
+    def cond(c):
+        x, r, p, rz, rn, it, k = c
+        return jnp.any(rn > tol) & (k < maxiter)
+
+    def body(c):
+        x, r, p, rz, rn, it, k = c
+        x, r, p, rz, rn, it = iter_fn(x, r, p, invd_pf, rz, rn, it, tol)
+        return (x, r, p, rz, rn, it, k + 1)
+
+    x, r, p, rz, rn, it, k = jax.lax.while_loop(
+        cond, body, (x0_pf, r0, z0, rz0, rn0, jnp.zeros(d, jnp.int32), jnp.int32(0))
+    )
+    return x, it, rn, rn <= tol
+
+
+def make_mixed_pf(sm_v, sm_q, C_all, d, interpret: bool = False):
+    """One-op mixed operator r_g = C_g p for all d components (baked
+    (d, nl_v, nl_q) cube matrices — the p*v.dx(i) / dp.dx(i)*v assembly,
+    reference fracstep.py:489-502, 618).  p: (nch_q, n0+1, L) -> (d,
+    nch_v, n0+1, L)."""
+    pfs_v, pfs_q = pf_shape(sm_v), pf_shape(sm_q)
+    C_all = np.asarray(C_all, np.float64)
+
+    mask_h = _seam_mask(sm_v)
+
+    def kernel(p_ref, mask_ref, out_ref):
+        out_ref[:] = jnp.zeros_like(out_ref)
+        cells = sm_v[1]
+        c0 = cells[0]
+        WL = win_len(sm_v)
+        so = _pf_slots(sm_v)
+        si = _pf_slots(sm_q)
+        mask = mask_ref[:]
+        for g in range(d):
+            for to, (cho, bo0, offo) in enumerate(so):
+                tmp = None
+                for ti, (chi, bi0, offi) in enumerate(si):
+                    c = float(C_all[g][to, ti])
+                    if c == 0.0:
+                        continue
+                    contrib = c * p_ref[chi, bi0 : bi0 + c0, offi : offi + WL]
+                    tmp = contrib if tmp is None else tmp + contrib
+                if tmp is not None:
+                    out_ref[g, cho, bo0 : bo0 + c0, offo : offo + WL] += mask * tmp
+
+    @jax.jit
+    def apply(p):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((d,) + pfs_v, p.dtype),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(p, jnp.asarray(mask_h, p.dtype))
+
+    return apply
+
+
+def make_divergence_pf(sm_v, sm_q, B_all, d, interpret: bool = False):
+    """One-op divergence assembly b2 = sum_g B_g^T u_g (baked (d, nl_v,
+    nl_q) cube matrices; reference fracstep.py:527-541).  u: (d, nch_v,
+    n0+1, L) -> (nch_q, n0+1, L)."""
+    pfs_q = pf_shape(sm_q)
+    B_all = np.asarray(B_all, np.float64)
+
+    mask_h = _seam_mask(sm_q)
+
+    def kernel(u_ref, mask_ref, out_ref):
+        out_ref[:] = jnp.zeros_like(out_ref)
+        cells = sm_v[1]
+        c0 = cells[0]
+        WL = win_len(sm_v)
+        sv = _pf_slots(sm_v)
+        sq = _pf_slots(sm_q)
+        mask = mask_ref[:]
+        for to, (cho, bo0, offo) in enumerate(sq):
+            tmp = None
+            for g in range(d):
+                for ti, (chi, bi0, offi) in enumerate(sv):
+                    c = float(B_all[g][ti, to])  # transpose: (nl_v, nl_q)
+                    if c == 0.0:
+                        continue
+                    contrib = c * u_ref[g, chi, bi0 : bi0 + c0, offi : offi + WL]
+                    tmp = contrib if tmp is None else tmp + contrib
+            if tmp is not None:
+                out_ref[cho, bo0 : bo0 + c0, offo : offo + WL] += mask * tmp
+
+    @jax.jit
+    def apply(u):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(pfs_q, u.dtype),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(u, jnp.asarray(mask_h, u.dtype))
+
+    return apply
+
+
+def make_matvec_win(sm: StructuredMap, d: int, pair_block: int = 8,
+                    interpret: bool = False):
+    """One-op batched matvec with streamed windowed weights:
+    y = A_W x, x/y plane-flat (d, nch, n0+1, L).  The standalone phase of
+    :func:`make_bicgstab_iter` — serves b_first assembly and the BiCGStab
+    init residual."""
+    pfs = pf_shape(sm)
+    shape = (d,) + pfs
+    c0 = sm[1][0]
+    c0p = _c0_padded(sm)
+    WL = win_len(sm)
+    WLp = _wl_padded(sm)
+    slots = _pf_slots(sm)
+    nl = len(slots)
+    npairs = nl * nl
+    nblocks = -(-npairs // pair_block)
+
+    def kernel(w_hbm, x_ref, y_ref, wbuf, sem):
+        def dma(blk, slot):
+            a = blk * pair_block
+            b = min(a + pair_block, npairs)
+            return pltpu.make_async_copy(
+                w_hbm.at[pl.ds(a, b - a)], wbuf.at[slot, pl.ds(0, b - a)], sem.at[slot]
+            )
+
+        y_ref[:] = jnp.zeros_like(y_ref)
+        dma(0, 0).start()
+        tmp = None
+        to_cur = 0
+        for blk in range(nblocks):
+            slot = blk % 2
+            if blk + 1 < nblocks:
+                dma(blk + 1, (blk + 1) % 2).start()
+            dma(blk, slot).wait()
+            for k in range(pair_block):
+                pair = blk * pair_block + k
+                if pair >= npairs:
+                    break
+                to, ti = divmod(pair, nl)
+                if to != to_cur:
+                    cho, bo0, offo = slots[to_cur]
+                    y_ref[:, cho, bo0 : bo0 + c0, offo : offo + WL] += tmp
+                    tmp = None
+                    to_cur = to
+                chi, bi0, offi = slots[ti]
+                w = wbuf[slot, k, :c0, :WL]
+                contrib = w * x_ref[:, chi, bi0 : bi0 + c0, offi : offi + WL]
+                tmp = contrib if tmp is None else tmp + contrib
+        cho, bo0, offo = slots[to_cur]
+        y_ref[:, cho, bo0 : bo0 + c0, offo : offo + WL] += tmp
+
+    @jax.jit
+    def mv(W_win, x):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(shape, x.dtype),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, pair_block, c0p, WLp), x.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )(W_win, x)
+
+    return mv
+
+
+def make_matvec_pf(sm: StructuredMap, C, d: int, interpret: bool = False):
+    """One-op batched matvec with a BAKED constant cube matrix (mass /
+    stiffness applications), plane-flat layout."""
+    pfs = pf_shape(sm)
+    shape = (d,) + pfs
+    C = np.asarray(C, np.float64)
+    mask_h = _seam_mask(sm)
+
+    def kernel(x_ref, mask_ref, y_ref):
+        # accumulate straight into the output ref (outputs do not count
+        # against the 16 MB scoped-VMEM stack; a scratch accumulator blew
+        # it at N=36)
+        y_ref[:] = jnp.zeros_like(y_ref)
+        pf_const_matvec_body(y_ref, x_ref, C, sm, sm, mask_ref[:], accumulate=True)
+
+    @jax.jit
+    def mv(x):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(shape, x.dtype),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(x, jnp.asarray(mask_h, x.dtype))
+
+    return mv

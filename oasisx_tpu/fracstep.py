@@ -444,6 +444,8 @@ class FractionalStep_AB_CN:
         self._pallas_mass = None
         self._pallas_cg_step = None
         self._pallas_bicgstab = None
+        self._pf_div = self._pf_grad_B = self._pf_grad_G = self._pf_cg_mass = None
+        self._pf_matvec_win = self._pf_mass_mv = None
         opts = options or {}
         # NOTE: jax.default_backend() stays 'tpu' inside a
         # jax.default_device(cpu) scope, so probe the actual placement
@@ -575,12 +577,33 @@ class FractionalStep_AB_CN:
                 self._pf_zmask = po.to_planeflat(
                     jnp.where(self._bc_masks, 0.0, 1.0).astype(self._dtype), sm_v
                 )
+            # plane-flat baked-constant kernels: one-op divergence, mixed
+            # gradients, and one-op-per-iteration batched mass CG
+            sm_q = self._ctx.sq
+            self._pf_div = po.make_divergence_pf(
+                sm_v, sm_q, np.asarray(self._cu.B_c, np.float64), d
+            )
+            self._pf_grad_B = po.make_mixed_pf(
+                sm_v, sm_q, np.asarray(self._cu.B_c, np.float64), d
+            )
+            self._pf_grad_G = po.make_mixed_pf(
+                sm_v, sm_q, np.asarray(self._cu.G_c, np.float64), d
+            )
+            self._pf_cg_mass = po.make_cg_iter_pf(
+                sm_v, np.asarray(self._cu.M_c, np.float64), d
+            )
+            self._pf_matvec_win = po.make_matvec_win(sm_v, d)
+            self._pf_mass_mv = po.make_matvec_pf(
+                sm_v, np.asarray(self._cu.M_c, np.float64), d
+            )
             logger.info("pallas velocity kernels enabled")
         except Exception as e:  # pragma: no cover - fallback path
             logger.warning("pallas velocity kernels unavailable: %s", e)
             self._pallas_tent = None
             self._pallas_mass = None
             self._pallas_bicgstab = None
+            self._pf_div = self._pf_grad_B = self._pf_grad_G = self._pf_cg_mass = None
+            self._pf_matvec_win = self._pf_mass_mv = None
 
     def _build_cheb(self, solver_options: dict | None) -> None:
         """Chebyshev-Jacobi pressure preconditioner for the cases MG and
@@ -980,16 +1003,24 @@ class FractionalStep_AB_CN:
             )
             A0_lhs = (1.0 / dt) * cu_.M_c + 0.5 * nu * cu_.K_c
             W = (A0_lhs.reshape(-1, 1) + 0.5 * Wc).reshape(nl, nl, -1)
-            # b_first = A_rhs u1 = (2/dt) M u1 - A_lhs u1  (A_rhs + A_lhs = (2/dt) M)
-            b_first = self._pallas_rhs(W, u1, 2.0 / dt) + P["b0"]
             # uq for the Jacobi diagonal (Q-point convecting velocity)
             uq = jnp.einsum("qm,gmc->gqc", cu_.Phi, U)
             if self._pallas_bicgstab is not None:
                 from .assembly import pallas_ops as po
 
                 # windowed layout for the fused one-op-per-iteration solver
-                W_win = po.build_w_win(W, self._ctx.sv)
+                sm_v = self._ctx.sv
+                W_win = po.build_w_win(W, sm_v)
+                # b_first = A_rhs u1 = (2/dt) M u1 - A_lhs u1 — two one-op
+                # kernels instead of the staged gather/einsum/scatter path
+                u1_pf = po.to_planeflat(u1, sm_v)
+                bf_pf = (2.0 / dt) * self._pf_mass_mv(u1_pf) - self._pf_matvec_win(
+                    W_win, u1_pf
+                )
+                b_first = po.from_planeflat(bf_pf, sm_v) + P["b0"]
                 return uab, ((1.0 / dt, 0.5 * nu), W, uq, W_win), b_first
+            # b_first = A_rhs u1 = (2/dt) M u1 - A_lhs u1  (A_rhs + A_lhs = (2/dt) M)
+            b_first = self._pallas_rhs(W, u1, 2.0 / dt) + P["b0"]
             return uab, ((1.0 / dt, 0.5 * nu), W, uq), b_first
         if self._co is not None:
             co = P["co"]
@@ -1083,7 +1114,13 @@ class FractionalStep_AB_CN:
             pv = sl.mixed_all_slab(ps, P["cu"].B_c, info.sm_v_loc, info.sm_q_loc, ax)
             return b_first + pv
         ctx = P["ctx"]
-        if self._co is not None:
+        if self._pf_grad_B is not None:
+            from .assembly import pallas_ops as po
+
+            pv = po.from_planeflat(
+                self._pf_grad_B(po.to_planeflat(ps, ctx.sq)), ctx.sv
+            )
+        elif self._co is not None:
             pv = cv.mixed_exact(P["co"], P["cu"].B_c, ps, ctx.axis)
         elif self._low_memory:
             pv = eng.pressure_gradient_vecs(ctx, ps)
@@ -1112,16 +1149,19 @@ class FractionalStep_AB_CN:
             sm_v = self._ctx.sv
             W_win = A_lhs[3]
             masks = P["bc_masks"]
+            pf = lambda a: po.to_planeflat(a, sm_v)
             rhs = jnp.where(masks, bc_vals, rhs1)
-            x0 = jnp.where(masks, bc_vals, u)
-            r0 = jnp.where(masks, 0.0, rhs - matvec(x0))
+            x0_pf = pf(jnp.where(masks, bc_vals, u))
+            rhs_pf = pf(rhs)
+            r0_pf = self._pf_zmask * (
+                rhs_pf - self._pf_matvec_win(W_win, x0_pf)
+            )
             bnorm = jnp.sqrt(jnp.sum(rhs * rhs, axis=-1))
             dfull = self._tentative_diag(P, A_lhs)
             invd = jnp.where(dfull != 0, 1.0 / jnp.where(dfull != 0, dfull, 1.0), 1.0)
-            pf = lambda a: po.to_planeflat(a, sm_v)
             rtol = _effective_rtol(s.rtol, np.float32)
             x_pf, iters, rnorm, conv = po.bicgstab_fused_from_r0(
-                self._pallas_bicgstab, W_win, pf(r0), pf(x0), self._pf_zmask,
+                self._pallas_bicgstab, W_win, r0_pf, x0_pf, self._pf_zmask,
                 pf(invd), bnorm, rtol, int(s.maxiter), atol=s.atol,
             )
             x = po.from_planeflat(x_pf, sm_v)
@@ -1183,7 +1223,11 @@ class FractionalStep_AB_CN:
             b2 = sl.divergence_slab(u, P["cu"], info.sm_v_loc, info.sm_q_loc, ax)
             return -(1.0 / dt) * b2
         ctx = P["ctx"]
-        if self._co is not None:
+        if self._pf_div is not None:
+            from .assembly import pallas_ops as po
+
+            b2 = po.from_planeflat(self._pf_div(po.to_planeflat(u, ctx.sv)), ctx.sq)
+        elif self._co is not None:
             b2 = cv.divergence_exact(P["co"], P["cu"], u, ctx.axis)
         elif self._low_memory:
             b2 = eng.divergence_vec(ctx, u)
@@ -1348,6 +1392,43 @@ class FractionalStep_AB_CN:
             )
             return res.x, res.iters, res.converged
         ctx = P["ctx"]
+        if self._pf_cg_mass is not None:
+            # batched one-op-per-iteration mass CG; x0 = u makes the init
+            # residual exactly -dt*grad so no extra mass matvec is needed:
+            # r0 = b3 - M u = (M u - dt g) - M u = -dt g
+            from .assembly import pallas_ops as po
+            from .la.krylov import _effective_rtol
+
+            sc = self._solver_c
+            rtol = _effective_rtol(sc.rtol, np.float32)
+            g_pf = self._pf_grad_G(po.to_planeflat(dp, ctx.sq))
+            u_pf = po.to_planeflat(u, ctx.sv)
+            b3_pf = self._pf_mass_mv(u_pf) - dt * g_pf
+            d_ = u.shape[0]
+            invd_pf = po.to_planeflat(self._pallas_m_invd, ctx.sv)
+            bnorm = jnp.sqrt(jnp.sum(b3_pf * b3_pf, axis=(1, 2, 3)))
+            tol = jnp.maximum(rtol * bnorm, sc.atol).astype(u.dtype)
+            r0 = -dt * g_pf
+            z0 = invd_pf[None] * r0
+            rz0 = jnp.sum(r0 * z0, axis=(1, 2, 3)).astype(u.dtype)
+            rn0 = jnp.sqrt(jnp.sum(r0 * r0, axis=(1, 2, 3))).astype(u.dtype)
+
+            def cond(c):
+                x, r, pp, rz, rn, it, k = c
+                return jnp.any(rn > tol) & (k < sc.maxiter)
+
+            def body(c):
+                x, r, pp, rz, rn, it, k = c
+                x, r, pp, rz, rn, it = self._pf_cg_mass(
+                    x, r, pp, invd_pf, rz, rn, it, tol
+                )
+                return (x, r, pp, rz, rn, it, k + 1)
+
+            x, r, pp, rz, rn, it, k = jax.lax.while_loop(
+                cond, body,
+                (u_pf, r0, z0, rz0, rn0, jnp.zeros(d_, jnp.int32), jnp.int32(0)),
+            )
+            return po.from_planeflat(x, ctx.sv), it, rn <= tol
         if self._pallas_cg_step is not None:
             from .assembly import pallas_ops as po
             from .la.krylov import _effective_rtol

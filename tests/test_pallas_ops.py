@@ -247,3 +247,93 @@ def test_fused_bicgstab_iteration_kernel():
     rn = np.sqrt((res**2).sum(axis=-1))
     bn = np.asarray(bnorm)
     assert (rn <= 3 * rtol * bn).all(), rn / bn
+
+
+def test_pf_const_kernels_cg_mixed_divergence():
+    """Plane-flat baked-constant kernels: batched mass-CG iteration, mixed
+    gradient, divergence — vs the cube engine (interpret mode)."""
+    from oasisx_tpu.la import cg_batched, jacobi_preconditioner
+
+    mesh, ctx, refs, ops, (sm_v, gf_v, _), (sm_q, gf_q, _) = setup(3, 4, 2, 1)
+    rng = np.random.default_rng(21)
+    d = mesh.dim
+    npad_v = int(np.prod(po._grid_shape(sm_v)))
+    npad_q = int(np.prod(po._grid_shape(sm_q)))
+
+    gv = lambda: _grid(rng.standard_normal(ctx.ndofs_v), gf_v, sm_v)
+    gq = lambda: _grid(rng.standard_normal(ctx.ndofs_q), gf_q, sm_q)
+
+    # --- mixed: r_g = B_g p --------------------------------------------
+    pvec = jnp.asarray(gq())
+    mixed = po.make_mixed_pf(sm_v, sm_q, np.asarray(ops.B_c), d, interpret=True)
+    got = po.from_planeflat(mixed(po.to_planeflat(pvec, sm_q)), sm_v)
+    ref = cu.mixed_all(pvec, ops.B_c, sm_v, sm_q)
+    assert np.allclose(np.asarray(got), np.asarray(ref), atol=1e-11)
+
+    # --- divergence: b2 = sum_g B_g^T u_g ------------------------------
+    u = jnp.asarray(np.stack([gv() for _ in range(d)]))
+    div = po.make_divergence_pf(sm_v, sm_q, np.asarray(ops.B_c), d, interpret=True)
+    got = po.from_planeflat(div(po.to_planeflat(u, sm_v)), sm_q)
+    ref = cu.divergence_cube(u, ops)
+    assert np.allclose(np.asarray(got), np.asarray(ref), atol=1e-11)
+
+    # --- batched mass CG ------------------------------------------------
+    diag = np.asarray(cu.diag_cube(ops.M_c, sm_v))
+    invd = jnp.asarray(np.where(diag != 0, 1.0 / np.where(diag != 0, diag, 1.0), 1.0))
+    mv1 = lambda x: cu.matvec_cube(x, ops.M_c, sm_v)
+    mvb = lambda x: jnp.stack([mv1(x[b]) for b in range(d)])
+    x_true = jnp.asarray(np.stack([gv() for _ in range(d)]))
+    b = mvb(x_true)
+    ref = cg_batched(mvb, b, x0=jnp.zeros_like(b),
+                     M=jacobi_preconditioner(jnp.asarray(diag)),
+                     rtol=1e-10, maxiter=100)
+    it_fn = po.make_cg_iter_pf(sm_v, np.asarray(ops.M_c), d, interpret=True)
+    pf = lambda v: po.to_planeflat(v, sm_v)
+    mv_pf = lambda xp: pf(mvb(po.from_planeflat(xp, sm_v)))
+    x, iters, rn, conv = po.cg_pf_solve(
+        it_fn, mv_pf, pf(b), pf(jnp.zeros_like(b)), pf(invd), 1e-10, 100
+    )
+    x = po.from_planeflat(x, sm_v)
+    assert bool(np.asarray(conv).all()), np.asarray(rn)
+    scale = np.abs(np.asarray(ref.x)).max()
+    assert np.abs(np.asarray(x) - np.asarray(ref.x)).max() / scale < 1e-8
+    assert np.abs(np.asarray(iters) - np.asarray(ref.iters)).max() <= 1
+
+
+def test_matvec_win_and_pf():
+    """Standalone windowed-W matvec and baked-constant matvec kernels vs
+    the cube engine (interpret)."""
+    mesh, ctx, refs, ops, (sm_v, gf_v, _), _ = setup(3, 4, 2, 1)
+    rng = np.random.default_rng(31)
+    d = mesh.dim
+    nl = ops.M_c.shape[0]
+    x = jnp.asarray(np.stack(
+        [_grid(rng.standard_normal(ctx.ndofs_v), gf_v, sm_v) for _ in range(d)]
+    ))
+    pf = lambda v: po.to_planeflat(v, sm_v)
+
+    # constant kernel == mass matvec
+    mvc = po.make_matvec_pf(sm_v, np.asarray(ops.M_c), d, interpret=True)
+    got = po.from_planeflat(mvc(pf(x)), sm_v)
+    ref = jnp.stack([cu.matvec_cube(x[b], ops.M_c, sm_v) for b in range(d)])
+    assert np.allclose(np.asarray(got), np.asarray(ref), atol=1e-11)
+
+    # windowed-W kernel == per-cube-weight matvec
+    nc = int(np.prod(sm_v[1]))
+    Wc = rng.standard_normal((nl * nl, nc))
+    W_win = po.build_w_win(jnp.asarray(Wc), sm_v)
+    mvw = po.make_matvec_win(sm_v, d, interpret=True)
+    got = np.asarray(po.from_planeflat(mvw(W_win, pf(x)), sm_v))
+    # oracle: slot-pair slices
+    cells = sm_v[1]
+    xg = np.asarray(x).reshape((d,) + po._grid_shape(sm_v))
+    refw = np.zeros_like(xg)
+    si = po._slot_info(sm_v)
+    for pair in range(nl * nl):
+        to, ti = divmod(pair, nl)
+        cho, bo = si[to]
+        chi, bi = si[ti]
+        slo = tuple(slice(bo[k], bo[k] + cells[k]) for k in range(3))
+        sli = tuple(slice(bi[k], bi[k] + cells[k]) for k in range(3))
+        refw[(slice(None), cho) + slo] += Wc[pair].reshape(cells) * xg[(slice(None), chi) + sli]
+    assert np.allclose(got.reshape(refw.shape), refw, atol=1e-11)
