@@ -72,13 +72,16 @@ def build_solver(N, dtype, device_mesh=None, rtol=1e-5):
     return solver
 
 
-def measure(solver, dt, nu, steps=5, windows=5):
+def measure(solver, dt, nu, steps=25, windows=5):
     # warmup with the same static step count so the timed calls hit the
     # compile cache (lax.scan length is static); then report BOTH the
     # median and the best of ``windows`` timing windows — the shared TPU
     # relay's throughput fluctuates ~2x with external load; the median is
     # the honest headline (VERDICT r2 weak #4) and the best estimates the
-    # machine's unloaded capability
+    # machine's unloaded capability.  25-step windows amortize the run()
+    # host boundary (state conversion + relay host<->device transfers,
+    # ~0.5-1 s per call — round-3 profiling) the way a real simulation
+    # does; the metric is steady-state stepping throughput.
     solver.run(steps, dt, nu, max_iter=1)
     times, stats = [], None
     for _ in range(windows):

@@ -34,6 +34,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .structured import StructuredMap
 
+# Mosaic's default scoped-VMEM budget is 16 MB; the chip has ~100+ MB of
+# kernel-addressable VMEM (probed round 3).  Inside large programs XLA may
+# place kernel operands in HBM, forcing VMEM staging copies onto the scoped
+# stack — raise the ceiling for the big plane-flat kernels.
+_BIG_VMEM = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
 
 def _slot_info(sm: StructuredMap):
     """Per cube-slot t: (channel index, base offset tuple). Channels are the
@@ -856,6 +862,7 @@ def make_bicgstab_iter(
                 pltpu.SemaphoreType.DMA((2,)),
             ],
             input_output_aliases={1: 0, 2: 1, 3: 2},  # x, r, p in-place
+            compiler_params=_BIG_VMEM,
             interpret=interpret,
         )(W_win, x, r, p, rhat, zmask, invd, rho, rnorm, iters, tol)
 
@@ -995,6 +1002,7 @@ def make_cg_iter_pf(sm, C, d, interpret: bool = False):
             out_specs=(vmem(),) * 3 + (smem(),) * 3,
             scratch_shapes=[pltpu.VMEM(shape, x.dtype)],
             input_output_aliases={0: 0, 1: 1, 2: 2},
+            compiler_params=_BIG_VMEM,
             interpret=interpret,
         )(x, r, p, invd, jnp.asarray(mask_h, x.dtype), rz, rnorm, iters, tol)
 
@@ -1065,6 +1073,7 @@ def make_mixed_pf(sm_v, sm_q, C_all, d, interpret: bool = False):
             out_shape=jax.ShapeDtypeStruct((d,) + pfs_v, p.dtype),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            compiler_params=_BIG_VMEM,
             interpret=interpret,
         )(p, jnp.asarray(mask_h, p.dtype))
 
@@ -1107,6 +1116,7 @@ def make_divergence_pf(sm_v, sm_q, B_all, d, interpret: bool = False):
             out_shape=jax.ShapeDtypeStruct(pfs_q, u.dtype),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            compiler_params=_BIG_VMEM,
             interpret=interpret,
         )(u, jnp.asarray(mask_h, u.dtype))
 
@@ -1176,6 +1186,7 @@ def make_matvec_win(sm: StructuredMap, d: int, pair_block: int = 8,
                 pltpu.VMEM((2, pair_block, c0p, WLp), x.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
+            compiler_params=_BIG_VMEM,
             interpret=interpret,
         )(W_win, x)
 
@@ -1204,6 +1215,7 @@ def make_matvec_pf(sm: StructuredMap, C, d: int, interpret: bool = False):
             out_shape=jax.ShapeDtypeStruct(shape, x.dtype),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            compiler_params=_BIG_VMEM,
             interpret=interpret,
         )(x, jnp.asarray(mask_h, x.dtype))
 
