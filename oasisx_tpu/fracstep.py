@@ -446,6 +446,7 @@ class FractionalStep_AB_CN:
         self._pallas_bicgstab = None
         self._pf_div = self._pf_grad_B = self._pf_grad_G = self._pf_cg_mass = None
         self._pf_matvec_win = self._pf_mass_mv = None
+        self._slab_kernels = None
         opts = options or {}
         # NOTE: jax.default_backend() stays 'tpu' inside a
         # jax.default_device(cpu) scope, so probe the actual placement
@@ -453,9 +454,13 @@ class FractionalStep_AB_CN:
             platform = jnp.zeros(1).devices().pop().platform
         except Exception:
             platform = jax.default_backend()
+        if self._cu is not None and self._slab is not None:
+            # sharded structured runs: per-shard plane-flat kernels composed
+            # with the ppermute halo exchange (VERDICT r2 item 2)
+            self._build_pallas_slab(opts, platform)
+            return
         if (
             self._cu is None
-            or self._slab is not None
             or self._have_pbc
             or self._dtype != jnp.float32
             or platform in ("cpu",)
@@ -604,6 +609,74 @@ class FractionalStep_AB_CN:
             self._pallas_bicgstab = None
             self._pf_div = self._pf_grad_B = self._pf_grad_G = self._pf_cg_mass = None
             self._pf_matvec_win = self._pf_mass_mv = None
+
+    def _build_pallas_slab(self, opts: dict, platform: str) -> None:
+        """Per-shard Pallas kernels for slab-sharded structured runs: each
+        shard's slab is itself a structured cube grid, so the plane-flat
+        one-op kernels apply per shard inside shard_map, with the existing
+        single-plane ppermute halo refresh/fold around each application.
+        Krylov iterations stay in XLA (their reductions psum over the mesh
+        axis).  On CPU device meshes the kernels only run in interpret mode
+        (opt-in via options={"pallas": "interpret"} — slow, used by the
+        multichip dry run and tests; real pods compile them natively)."""
+        self._slab_kernels = None
+        interpret = False
+        if platform in ("cpu",):
+            if opts.get("pallas") != "interpret":
+                return
+            interpret = True
+        elif self._dtype != jnp.float32 or not opts.get("pallas", True):
+            return
+        try:
+            from .assembly import pallas_ops as po
+
+            d = self._mesh.dim
+            sm_v = self._slab.sm_v_loc
+            sm_q = self._slab.sm_q_loc
+            cu = self._cu
+            self._slab_kernels = dict(
+                mv_win=po.make_matvec_win(sm_v, d, interpret=interpret),
+                mass=po.make_matvec_pf(
+                    sm_v, np.asarray(cu.M_c, np.float64), d, interpret=interpret
+                ),
+                ap=po.make_matvec_pf(
+                    sm_q, np.asarray(cu.Ap_c, np.float64), 1, interpret=interpret
+                ),
+                div=po.make_divergence_pf(
+                    sm_v, sm_q, np.asarray(cu.B_c, np.float64), d, interpret=interpret
+                ),
+                grad_B=po.make_mixed_pf(
+                    sm_v, sm_q, np.asarray(cu.B_c, np.float64), d, interpret=interpret
+                ),
+                grad_G=po.make_mixed_pf(
+                    sm_v, sm_q, np.asarray(cu.G_c, np.float64), d, interpret=interpret
+                ),
+            )
+            # per-cube convection weights are linear in u27: one contraction
+            # per step rebuilds W (same scheme as the single-chip fused path)
+            self._slab_T = jnp.asarray(
+                po.conv_weight_tensor(cu), dtype=self._dtype
+            )
+            logger.info("pallas slab kernels enabled (per-shard, interpret=%s)",
+                        interpret)
+        except Exception as e:  # pragma: no cover - fallback path
+            logger.warning("pallas slab kernels unavailable: %s", e)
+            self._slab_kernels = None
+
+    def _slab_apply(self, kernel, x, sm_in, sm_out, refresh=True, fold=True):
+        """Per-shard kernel application with halo exchange:
+        fold(kernel(refresh(x))) — scatter_forward -> local one-op kernel ->
+        scatter_reverse(add), the slab analogue of a global operator."""
+        from .assembly import pallas_ops as po
+        from .parallel import slab as sl
+
+        ax = self._slab_axis
+        if refresh:
+            x = sl.halo_refresh(x, sm_in, ax)
+        y = po.from_planeflat(kernel(po.to_planeflat(x, sm_in)), sm_out)
+        if fold:
+            y = sl.halo_fold(y, sm_out, ax)
+        return y
 
     def _build_cheb(self, solver_options: dict | None) -> None:
         """Chebyshev-Jacobi pressure preconditioner for the cases MG and
@@ -977,9 +1050,34 @@ class FractionalStep_AB_CN:
             d = u1.shape[0]
             info, ax = self._slab, self._slab_axis
             cu_ = P["cu"]
-            uq = sl.conv_uq_slab(cu_, uab, info.sm_v_loc, ax)
             A0_rhs = (1.0 / dt) * cu_.M_c - 0.5 * nu * cu_.K_c
             A0_lhs = (1.0 / dt) * cu_.M_c + 0.5 * nu * cu_.K_c
+            if self._slab_kernels is not None:
+                from .assembly import pallas_ops as po
+
+                k = self._slab_kernels
+                nl = cu_.M_c.shape[0]
+                uf = sl.halo_refresh(uab, info.sm_v_loc, ax)
+                U = jnp.stack(
+                    [cub.cube_gather(uf[g], info.sm_v_loc) for g in range(d)]
+                )
+                uq = jnp.einsum("qm,gmc->gqc", cu_.Phi, U)
+                Wc = jnp.einsum(
+                    "tw,tc->wc", self._slab_T, U.reshape(d * nl, -1),
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                W = (A0_lhs.reshape(-1, 1) + 0.5 * Wc).reshape(nl, nl, -1)
+                W_win = po.build_w_win(W, info.sm_v_loc)
+                uf_pf = po.to_planeflat(
+                    sl.halo_refresh(u1, info.sm_v_loc, ax), info.sm_v_loc
+                )
+                bf = (2.0 / dt) * k["mass"](uf_pf) - k["mv_win"](W_win, uf_pf)
+                b_first = sl.halo_fold(
+                    po.from_planeflat(bf, info.sm_v_loc), info.sm_v_loc, ax
+                )
+                b_first = b_first + P["b0"]
+                return uab, (A0_lhs, uq, W_win), b_first
+            uq = sl.conv_uq_slab(cu_, uab, info.sm_v_loc, ax)
             b_first = jnp.stack(
                 [
                     sl.rhs_matvec_slab(cu_, A0_rhs, uq, u1[i], info.sm_v_loc, ax)
@@ -1050,7 +1148,19 @@ class FractionalStep_AB_CN:
             # assumes identical sets across components; we support distinct
             # sets — e.g. free-slip symmetry planes pin only the normal
             # component. Identical behavior when the sets coincide.)
-            A0, uq = A_lhs
+            if self._slab_kernels is not None and len(A_lhs) == 3:
+                k = self._slab_kernels
+                W_win = A_lhs[2]
+
+                def mv(x):
+                    y = self._slab_apply(
+                        lambda xp: k["mv_win"](W_win, xp), x,
+                        info.sm_v_loc, info.sm_v_loc,
+                    )
+                    return eng.apply_bc_rows(masks, y, x)
+
+                return mv
+            A0, uq = A_lhs[0], A_lhs[1]
 
             def mv(x):
                 y = jnp.stack(
@@ -1086,7 +1196,7 @@ class FractionalStep_AB_CN:
             from .parallel import slab as sl
 
             info, ax = self._slab, self._slab_axis
-            A0, uq = A_lhs
+            A0, uq = A_lhs[0], A_lhs[1]
             dA0 = sl.diag_cube_slab(A0, info.sm_v_loc, ax)
             return dA0 + 0.5 * sl.conv_diag_slab(P["cu"], uq, info.sm_v_loc, ax)
         ctx = P["ctx"]
@@ -1111,6 +1221,11 @@ class FractionalStep_AB_CN:
             from .parallel import slab as sl
 
             info, ax = self._slab, self._slab_axis
+            if self._slab_kernels is not None:
+                pv = self._slab_apply(
+                    self._slab_kernels["grad_B"], ps, info.sm_q_loc, info.sm_v_loc
+                )
+                return b_first + pv
             pv = sl.mixed_all_slab(ps, P["cu"].B_c, info.sm_v_loc, info.sm_q_loc, ax)
             return b_first + pv
         ctx = P["ctx"]
@@ -1220,6 +1335,11 @@ class FractionalStep_AB_CN:
             from .parallel import slab as sl
 
             info, ax = self._slab, self._slab_axis
+            if self._slab_kernels is not None:
+                b2 = self._slab_apply(
+                    self._slab_kernels["div"], u, info.sm_v_loc, info.sm_q_loc
+                )
+                return -(1.0 / dt) * b2
             b2 = sl.divergence_slab(u, P["cu"], info.sm_v_loc, info.sm_q_loc, ax)
             return -(1.0 / dt) * b2
         ctx = P["ctx"]
@@ -1248,7 +1368,14 @@ class FractionalStep_AB_CN:
             s = self._solver_p
             cu_ = P["cu"]
             nv = P["q_null"]
-            mv_slab = lambda x: sl.matvec_cube_slab(x, cu_.Ap_c, info.sm_q_loc, ax)
+            if self._slab_kernels is not None:
+                apk = self._slab_kernels["ap"]
+                mv_slab = lambda x: self._slab_apply(
+                    lambda xp: apk(xp[None])[0] if xp.ndim == 3 else apk(xp),
+                    x, info.sm_q_loc, info.sm_q_loc,
+                )
+            else:
+                mv_slab = lambda x: sl.matvec_cube_slab(x, cu_.Ap_c, info.sm_q_loc, ax)
             if self._cheb is not None:
                 from .la import chebyshev_preconditioner
 
@@ -1380,9 +1507,18 @@ class FractionalStep_AB_CN:
 
             info, ax = self._slab, self._slab_axis
             cu_ = P["cu"]
-            g = sl.mixed_all_slab(dp, cu_.G_c, info.sm_v_loc, info.sm_q_loc, ax)
-            mv1 = lambda xx: sl.matvec_cube_slab(xx, cu_.M_c, info.sm_v_loc, ax)
-            matvec = lambda x: jnp.stack([mv1(x[i]) for i in range(x.shape[0])])
+            if self._slab_kernels is not None:
+                k = self._slab_kernels
+                g = self._slab_apply(
+                    k["grad_G"], dp, info.sm_q_loc, info.sm_v_loc
+                )
+                matvec = lambda x: self._slab_apply(
+                    k["mass"], x, info.sm_v_loc, info.sm_v_loc
+                )
+            else:
+                g = sl.mixed_all_slab(dp, cu_.G_c, info.sm_v_loc, info.sm_q_loc, ax)
+                mv1 = lambda xx: sl.matvec_cube_slab(xx, cu_.M_c, info.sm_v_loc, ax)
+                matvec = lambda x: jnp.stack([mv1(x[i]) for i in range(x.shape[0])])
             M = jacobi_preconditioner(P["M_diag"])
             sc = self._solver_c
             b3 = matvec(u) - dt * g
@@ -1562,6 +1698,10 @@ class FractionalStep_AB_CN:
                         Pspec(),
                     ),
                     out_specs=(state_specs, Pspec()),
+                    # pallas_call out_shapes carry no vma metadata; the slab
+                    # kernels are rank-local ops so the legacy (unchecked)
+                    # mode is the correct semantics here
+                    check_vma=False,
                 )(P, state, dt, nu, bc_vals, max_error)
 
             self._raw_step = raw_step

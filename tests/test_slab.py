@@ -259,3 +259,72 @@ def test_slab_run_loop():
     stats = sol.run(3, 0.01, 0.05, max_iter=1)
     assert np.isfinite(sol._u[0].x.array).all()
     assert np.asarray(stats["p_converged"]).all()
+
+
+def _tg_solver(N, device_mesh=None, options=None):
+    """Tiny 2D Taylor-Green config used by the slab-kernel tests."""
+    from oasisx_tpu import DirichletBC, FractionalStep_AB_CN, LocatorMethod
+    from oasisx_tpu.meshes import create_rectangle, meshtags
+
+    m = create_rectangle((0.0, 0.0), (np.pi, np.pi), (N, N))
+    facets = m.exterior_facet_indices()
+    tags = meshtags(m, m.dim - 1, facets, np.full_like(facets, 1))
+
+    def gx(x):
+        return 0.2 * np.sin(x[0]) * np.cos(x[1])
+
+    def gy(x):
+        return -0.2 * np.cos(x[0]) * np.sin(x[1])
+
+    bcs = [[DirichletBC(f, LocatorMethod.TOPOLOGICAL, (tags, 1))] for f in (gx, gy)]
+    sol = FractionalStep_AB_CN(
+        m, ("Lagrange", 2), ("Lagrange", 1), bcs, [],
+        solver_options={
+            k: {"ksp_rtol": 1e-12} for k in ("tentative", "pressure", "scalar")
+        },
+        device_mesh=device_mesh,
+        options=options,
+    )
+    for f, u1, u2 in zip((gx, gy), sol._u1, sol._u2):
+        u1.interpolate(f)
+        u2.interpolate(f)
+    return sol
+
+
+def test_slab_kernels_match_plain_slab_and_single_device():
+    """Per-shard Pallas kernels composed with the slab halo exchange
+    (VERDICT r2 item 2): kernel-slab == plain-slab == single-device on a
+    tiny 2D config (interpret mode on the CPU mesh)."""
+    import jax
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("need 2 devices")
+    dmesh = Mesh(np.array(devs[:2]), ("cells",))
+
+    def build(device_mesh=None, pallas=None):
+        opts = {}
+        if pallas is not None:
+            opts["pallas"] = pallas
+        return _tg_solver(8, device_mesh=device_mesh, options=opts)
+
+    s_one = build()
+    s_plain = build(dmesh)
+    s_kern = build(dmesh, pallas="interpret")
+    assert s_plain._slab is not None and s_kern._slab is not None
+    assert s_kern._slab_kernels is not None
+    assert s_plain._slab_kernels is None
+
+    dt, nu = 0.02, 0.05
+    for _ in range(2):
+        s_one.solve(dt, nu, max_iter=2)
+        s_plain.solve(dt, nu, max_iter=2)
+        s_kern.solve(dt, nu, max_iter=2)
+    for i in range(2):
+        a = s_one._u[i].x.array
+        b = s_plain._u[i].x.array
+        c = s_kern._u[i].x.array
+        assert np.abs(a - b).max() < 1e-9, np.abs(a - b).max()
+        assert np.abs(a - c).max() < 1e-9, np.abs(a - c).max()
+    assert np.abs(s_one._p.x.array - s_kern._p.x.array).max() < 1e-8
