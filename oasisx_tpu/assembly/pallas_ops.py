@@ -117,6 +117,7 @@ def make_matvec(
             out_shape=jax.ShapeDtypeStruct(shape, x.dtype),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            compiler_params=_BIG_VMEM,
             interpret=interpret,
         )(flat_in)
         return y.reshape(x.shape)
@@ -253,6 +254,7 @@ def make_pressure_cg(
                 pltpu.VMEM(gshape, b.dtype),
                 pltpu.VMEM(gshape, b.dtype),
             ],
+            compiler_params=_BIG_VMEM,
             interpret=interpret,
         )(b.reshape(gshape), x0.reshape(gshape), jnp.asarray(invd, dtype=b.dtype))
         return x.reshape(-1), it[0], res[0], conv[0].astype(bool)
@@ -329,6 +331,7 @@ def make_gather(
             out_shape=jax.ShapeDtypeStruct(out_shape, x.dtype),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            compiler_params=_BIG_VMEM,
             interpret=interpret,
         )(x.reshape(in_shape))
 
@@ -387,6 +390,7 @@ def make_scatter(
             out_shape=jax.ShapeDtypeStruct(out_shape, U.dtype),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            compiler_params=_BIG_VMEM,
             interpret=interpret,
         )(U.reshape(in_shape))
         return y.reshape((npad,) if batch == 1 else (batch, npad))
@@ -474,6 +478,7 @@ def make_tent_matvec_hbm(sm: StructuredMap, interpret: bool = False):
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            compiler_params=_BIG_VMEM,
             interpret=interpret,
         )(Wp, x.reshape(gshape))
         return y.reshape(-1)
@@ -555,6 +560,7 @@ def make_cg_step(sm: StructuredMap, C: np.ndarray, interpret: bool = False):
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ),
             scratch_shapes=[pltpu.VMEM(gshape, x.dtype)],
+            compiler_params=_BIG_VMEM,
             interpret=interpret,
         )(x.reshape(gshape), r.reshape(gshape), p.reshape(gshape),
           invd.reshape(gshape), rz.reshape(1))

@@ -64,6 +64,12 @@ __all__ = ["FractionalStep_AB_CN"]
 
 logger = logging.getLogger("oasisx_tpu")
 
+# Kernel-addressable VMEM budget for sizing the Pallas mega-kernels (the
+# chip's ~128 MB VMEM minus headroom for Mosaic's own staging; kernels are
+# compiled with pallas_ops._BIG_VMEM = 100 MB).  Each kernel family in
+# _build_pallas is gated on its own buffer-count estimate against this.
+_VMEM_BUDGET = 96e6
+
 
 class FractionalStep_AB_CN:
     """Fractional-step solver with AB2-linearized convection and CN diffusion.
@@ -474,6 +480,18 @@ class FractionalStep_AB_CN:
             from .assembly import pallas_ops as po
             from .la.krylov import _effective_rtol
 
+            # VMEM budget: the whole-solve kernel holds 8 pressure-grid
+            # buffers (b, x0, invd, x, r, z, p, Ap; minor dims padded to
+            # (8, 128) tiles); past that the XLA MG/Chebyshev path takes over
+            qdims = list(self._ctx.sq[0])
+            qdims[-2] = -(-qdims[-2] // 8) * 8
+            qdims[-1] = -(-qdims[-1] // 128) * 128
+            q_grid_bytes = 4 * int(np.prod(qdims))
+            if 8.5 * q_grid_bytes > _VMEM_BUDGET:
+                raise ValueError(
+                    f"pressure grid too large for VMEM "
+                    f"({q_grid_bytes / 1e6:.1f} MB/buffer)"
+                )
             Ap_np = np.asarray(self._cu.Ap_c, np.float64)
             diag = np.asarray(self._Ap_diag)
             invd = np.where(diag != 0, 1.0 / np.where(diag != 0, diag, 1.0), 1.0)
@@ -509,16 +527,25 @@ class FractionalStep_AB_CN:
             sm_v = self._ctx.sv
             cells = sm_v[1]
             nl = int(self._cu.M_c.shape[0])
-            # scoped-VMEM budget: the velocity kernels hold ~2 grid buffers
-            # (minor dims padded to (8, 128) tiles); stay under the 16 MB
-            # Mosaic stack limit or fall back to the XLA paths
+            # Per-kernel VMEM budgets (the chip exposes ~100 MB of
+            # kernel-addressable VMEM, pallas_ops._BIG_VMEM): each kernel
+            # family holds a known number of grid / plane-flat state buffers
+            # (minor dims padded to (8, 128) f32 tiles).  Kernels that fit
+            # activate; the rest individually fall back to the XLA paths, so
+            # large-N runs still get the one-op matvecs and pressure solve
+            # even when the whole-solver-state iteration kernels cannot fit.
             pdims = list(sm_v[0])
             pdims[-2] = -(-pdims[-2] // 8) * 8
             pdims[-1] = -(-pdims[-1] // 128) * 128
             grid_bytes = 4 * int(np.prod(pdims))
-            if 2.2 * grid_bytes > 15.5e6:
+            pfv = list(po.pf_shape(sm_v))
+            pfv[-2] = -(-pfv[-2] // 8) * 8
+            pfv[-1] = -(-pfv[-1] // 128) * 128
+            vstate_bytes = 4 * d * int(np.prod(pfv))  # one (d, *pf) state array
+            wbuf_bytes = 4 * 2 * 8 * po._c0_padded(sm_v) * po._wl_padded(sm_v)
+            if 2.2 * grid_bytes > _VMEM_BUDGET:
                 raise ValueError(
-                    f"velocity grid too large for scoped VMEM ({grid_bytes/1e6:.1f} MB)"
+                    f"velocity grid too large for VMEM ({grid_bytes/1e6:.1f} MB)"
                 )
             # batch=1 kernels: a (d, nl, cells) VMEM block exceeds the 16 MB
             # scoped limit (minor (37,37) dims pad ~3.5x), so components loop
@@ -559,9 +586,12 @@ class FractionalStep_AB_CN:
             self._pallas_tent = tentmv
             self._pallas_rhs = rhsmv
             # one-op-per-iteration CG for the velocity-update mass solves
-            self._pallas_cg_step = po.make_cg_step(
-                sm_v, np.asarray(self._cu.M_c, np.float64)
-            )
+            # (~9 grid-shaped buffers of solver state)
+            self._pallas_cg_step = None
+            if 9.0 * grid_bytes <= _VMEM_BUDGET:
+                self._pallas_cg_step = po.make_cg_step(
+                    sm_v, np.asarray(self._cu.M_c, np.float64)
+                )
             self._pallas_mass1 = po.make_matvec(
                 sm_v, np.asarray(self._cu.M_c, np.float64)
             )
@@ -577,7 +607,15 @@ class FractionalStep_AB_CN:
             # solves (round 3: the XLA iteration body cost ~316 dispatched
             # ops on the relay backend — ~60% of all per-step ops)
             self._pallas_bicgstab = None
-            if self._solver_u.method == "bcgs" and opts.get("pallas_bicgstab", True):
+            if (
+                self._solver_u.method == "bcgs"
+                and opts.get("pallas_bicgstab", True)
+                and 8.5 * vstate_bytes + wbuf_bytes <= _VMEM_BUDGET
+                and 3.3 * vstate_bytes + wbuf_bytes <= _VMEM_BUDGET
+            ):
+                # iteration state (x, r, p, rhat, zmask, v, t, acc + invd)
+                # lives wholly in VMEM; the second bound is for the companion
+                # matvec_win used to form r0 and the rhs
                 self._pallas_bicgstab = po.make_bicgstab_iter(sm_v, d)
                 self._pf_zmask = po.to_planeflat(
                     jnp.where(self._bc_masks, 0.0, 1.0).astype(self._dtype), sm_v
@@ -585,23 +623,33 @@ class FractionalStep_AB_CN:
             # plane-flat baked-constant kernels: one-op divergence, mixed
             # gradients, and one-op-per-iteration batched mass CG
             sm_q = self._ctx.sq
-            self._pf_div = po.make_divergence_pf(
-                sm_v, sm_q, np.asarray(self._cu.B_c, np.float64), d
+            if 2.4 * vstate_bytes <= _VMEM_BUDGET:
+                self._pf_div = po.make_divergence_pf(
+                    sm_v, sm_q, np.asarray(self._cu.B_c, np.float64), d
+                )
+                self._pf_grad_B = po.make_mixed_pf(
+                    sm_v, sm_q, np.asarray(self._cu.B_c, np.float64), d
+                )
+                self._pf_grad_G = po.make_mixed_pf(
+                    sm_v, sm_q, np.asarray(self._cu.G_c, np.float64), d
+                )
+                self._pf_mass_mv = po.make_matvec_pf(
+                    sm_v, np.asarray(self._cu.M_c, np.float64), d
+                )
+            if 4.6 * vstate_bytes <= _VMEM_BUDGET and self._pf_mass_mv is not None:
+                self._pf_cg_mass = po.make_cg_iter_pf(
+                    sm_v, np.asarray(self._cu.M_c, np.float64), d
+                )
+            if 3.3 * vstate_bytes + wbuf_bytes <= _VMEM_BUDGET:
+                self._pf_matvec_win = po.make_matvec_win(sm_v, d)
+            logger.info(
+                "pallas velocity kernels enabled (state %.1f MB: bicgstab=%s "
+                "cg_mass=%s pf_ops=%s)",
+                vstate_bytes / 1e6,
+                self._pallas_bicgstab is not None,
+                self._pf_cg_mass is not None,
+                self._pf_mass_mv is not None,
             )
-            self._pf_grad_B = po.make_mixed_pf(
-                sm_v, sm_q, np.asarray(self._cu.B_c, np.float64), d
-            )
-            self._pf_grad_G = po.make_mixed_pf(
-                sm_v, sm_q, np.asarray(self._cu.G_c, np.float64), d
-            )
-            self._pf_cg_mass = po.make_cg_iter_pf(
-                sm_v, np.asarray(self._cu.M_c, np.float64), d
-            )
-            self._pf_matvec_win = po.make_matvec_win(sm_v, d)
-            self._pf_mass_mv = po.make_matvec_pf(
-                sm_v, np.asarray(self._cu.M_c, np.float64), d
-            )
-            logger.info("pallas velocity kernels enabled")
         except Exception as e:  # pragma: no cover - fallback path
             logger.warning("pallas velocity kernels unavailable: %s", e)
             self._pallas_tent = None
