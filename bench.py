@@ -61,7 +61,6 @@ def build_solver(N, dtype, device_mesh=None, rtol=1e-5):
         solver_options={"tentative": dict(opts), "pressure": dict(opts), "scalar": dict(opts)},
         options={
             "low_memory_version": os.environ.get("BENCH_LOW_MEMORY", "0") == "1",
-            "cube": os.environ.get("BENCH_CUBE", "0") == "1",
         },
         dtype=dtype,
         device_mesh=device_mesh,

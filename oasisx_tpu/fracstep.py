@@ -42,7 +42,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .assembly import convops as cv
 from .assembly import cubes as cub
 from .assembly import engine as eng
 from .assembly.facets import pressure_surface_vecs
@@ -247,15 +246,6 @@ class FractionalStep_AB_CN:
                 self._cu = cub.build_cube_ops(
                     mesh, self._refs, sv, sq, dtype=self._dtype
                 )
-        # exact-split conv hot path (assembly/convops.py): opt-in via
-        # options={"cube": True} — measured slower than the slice path on
-        # the current backend (XLA inserts layout copies around the convs)
-        _cube_flag = opts_early.get("cube")
-        self._co = (
-            cv.build_exact_ops(self._cu, self._dtype)
-            if (self._cu is not None and bool(_cube_flag))
-            else None
-        )
         self._hx_v = self._hx_q = None
         self._ctx_single = self._ctx  # unsharded ctx (setup-time estimates)
         if device_mesh is not None and self._slab is None:
@@ -789,8 +779,6 @@ class FractionalStep_AB_CN:
                         mv = lambda x: eng.bc_symmetric_matvec(
                             ctx, P["Ap"], P["pbc_mask"], x, eng.matvec_q
                         )
-                    elif self._co is not None:
-                        mv = lambda x: cv.matvec_exact(x, P["cu"].Ap_c, P["co"], "q")
                     else:
                         mv = lambda x: eng.matvec_q(ctx, P["Ap"], x)
                     diag = np.asarray(self._Ap_diag)
@@ -869,19 +857,9 @@ class FractionalStep_AB_CN:
             ones_g[valid_grid] = 1.0
             w_g = np.asarray(cub.matvec_cube(jnp.asarray(ones_g), cu.Mq_c, smq))
             self._intw = jnp.asarray(g2s(w_g, "q"), self._dtype)
-        elif self._co is not None:
-            # cube-matrix hot path: no per-cell element-matrix stacks at all
-            cu = self._cu
-            self._M_elems = self._K_elems = self._Ap_elems = self._Mq_elems = None
-            self._M_diag = cub.diag_cube(cu.M_c, ctx.sv)
-            self._K_diag = cub.diag_cube(cu.K_c, ctx.sv)
-            self._Mq_diag = cub.diag_cube(cu.Mq_c, ctx.sq)
-            ap_diag = cub.diag_cube(cu.Ap_c, ctx.sq)
-            self._vol = float(jax.jit(eng.cell_volume_total)(ctx))
-            self._Ap_diag = ap_diag
         else:
             # the Pallas velocity path needs the stiffness/pressure-mass
-            # diagonals even when the conv hot path is off
+            # diagonals even when the cube hot path is off
             if self._cu is not None:
                 self._K_diag = cub.diag_cube(self._cu.K_c, ctx.sv)
                 self._Mq_diag = cub.diag_cube(self._cu.Mq_c, ctx.sq)
@@ -975,7 +953,7 @@ class FractionalStep_AB_CN:
         # in cube-matrix mode both strategies route through the shared cube
         # tables (identical results; the distinction is an implementation
         # detail of the general path)
-        if not self._low_memory and self._co is None and self._slab is None:
+        if not self._low_memory and self._slab is None:
             mixed_spec = P(None, ax, None, None) if ax else None
             pg = self._on_mesh(eng.pressure_gradient_mats, mixed_spec)
             gp = self._on_mesh(eng.grad_p_mats, mixed_spec)
@@ -1005,7 +983,6 @@ class FractionalStep_AB_CN:
             )
         return dict(
             ctx=self._ctx,
-            co=self._co,
             cu=self._cu,
             K_diag=self._K_diag,
             Mq_diag=self._Mq_diag,
@@ -1056,7 +1033,6 @@ class FractionalStep_AB_CN:
         dof = (lambda *lead: P(*lead, ax)) if halo else (lambda *lead: P())
         return dict(
             ctx=self._ctx_specs(),
-            co=None,
             cu=None,
             K_diag=None,
             Mq_diag=None,
@@ -1168,14 +1144,6 @@ class FractionalStep_AB_CN:
             # b_first = A_rhs u1 = (2/dt) M u1 - A_lhs u1  (A_rhs + A_lhs = (2/dt) M)
             b_first = self._pallas_rhs(W, u1, 2.0 / dt) + P["b0"]
             return uab, ((1.0 / dt, 0.5 * nu), W, uq), b_first
-        if self._co is not None:
-            co = P["co"]
-            uqg = cv.conv_uqg_exact(co, uab)
-            b_first = cv.tentative_matvec_exact(
-                co, P["cu"], 1.0 / dt, -0.5 * nu, uqg, u1, sign=-1.0, axis=ctx.axis
-            )
-            b_first = b_first + P["b0"]
-            return uab, ((1.0 / dt, 0.5 * nu), uqg), b_first
         C = eng.convection_elems(ctx, uab)
         A_rhs = -0.5 * C + (1.0 / dt) * P["M"] - 0.5 * nu * P["K"]
         b_first = jnp.stack([eng.matvec_v(ctx, A_rhs, u1[i]) for i in range(u1.shape[0])])
@@ -1228,15 +1196,6 @@ class FractionalStep_AB_CN:
                 return eng.apply_bc_rows(masks, self._pallas_tent(W, x), x)
 
             return mv
-        if self._co is not None:
-            co = P["co"]
-            (a, b), uqg = A_lhs
-
-            def mv(x):
-                y = cv.tentative_matvec_exact(co, P["cu"], a, b, uqg, x, axis=ctx.axis)
-                return eng.apply_bc_rows(masks, y, x)
-
-            return mv
         return lambda x: eng.apply_bc_rows(masks, eng.matvec_v(ctx, A_lhs, x), x)
 
     def _tentative_diag(self, P: dict, A_lhs):
@@ -1254,13 +1213,6 @@ class FractionalStep_AB_CN:
                 a * P["M_diag"]
                 + b * P["K_diag"]
                 + 0.5 * cub.conv_diag(P["cu"], uq, ctx.axis)
-            )
-        if self._co is not None:
-            (a, b), uqg = A_lhs
-            return (
-                a * P["M_diag"]
-                + b * P["K_diag"]
-                + 0.5 * cv.conv_diag_exact(P["co"], uqg, ctx.axis)
             )
         return eng.diagonal_v(ctx, A_lhs)
 
@@ -1283,8 +1235,6 @@ class FractionalStep_AB_CN:
             pv = po.from_planeflat(
                 self._pf_grad_B(po.to_planeflat(ps, ctx.sq)), ctx.sv
             )
-        elif self._co is not None:
-            pv = cv.mixed_exact(P["co"], P["cu"].B_c, ps, ctx.axis)
         elif self._low_memory:
             pv = eng.pressure_gradient_vecs(ctx, ps)
         else:
@@ -1330,7 +1280,7 @@ class FractionalStep_AB_CN:
             x = po.from_planeflat(x_pf, sm_v)
             diff = jnp.sum(jnp.sqrt(jnp.sum((x - u) ** 2, axis=-1)))
             return x, diff, iters, conv
-        if self._co is not None or self._pallas_tent is not None or self._slab is not None:
+        if self._pallas_tent is not None or self._slab is not None:
             # all components share each op (batched Krylov: one batched
             # matvec per iteration for the whole (d, n) block)
             rhs = jnp.where(P["bc_masks"], bc_vals, rhs1)
@@ -1395,8 +1345,6 @@ class FractionalStep_AB_CN:
             from .assembly import pallas_ops as po
 
             b2 = po.from_planeflat(self._pf_div(po.to_planeflat(u, ctx.sv)), ctx.sq)
-        elif self._co is not None:
-            b2 = cv.divergence_exact(P["co"], P["cu"], u, ctx.axis)
         elif self._low_memory:
             b2 = eng.divergence_vec(ctx, u)
         else:
@@ -1457,8 +1405,6 @@ class FractionalStep_AB_CN:
         s = self._solver_p
         if self._have_pbc:
             matvec = lambda x: eng.bc_symmetric_matvec(ctx, P["Ap"], P["pbc_mask"], x, eng.matvec_q)
-        elif self._co is not None:
-            matvec = lambda x: cv.matvec_exact(x, P["cu"].Ap_c, P["co"], "q", ctx.axis)
         else:
             matvec = lambda x: eng.matvec_q(ctx, P["Ap"], x)
         if self._mg is not None and not self._have_pbc:
@@ -1514,13 +1460,8 @@ class FractionalStep_AB_CN:
             dp = dp - (phi_avg if nv is None else phi_avg * nv)
         if self._rotational:
             # ps = Proj_Q(p + dp - xi nu div u)   (fracstep.py:237-247,593-604)
-            if self._co is not None:
-                co = P["co"]
-                mq_mv = lambda x: cv.matvec_exact(x, P["cu"].Mq_c, co, "q", ctx.axis)
-                mq_diag = P["Mq_diag"]
-            else:
-                mq_mv = lambda x: eng.matvec_q(ctx, P["Mq"], x)
-                mq_diag = eng.diagonal_q(ctx, P["Mq"])
+            mq_mv = lambda x: eng.matvec_q(ctx, P["Mq"], x)
+            mq_diag = eng.diagonal_q(ctx, P["Mq"])
             rhs = mq_mv(p + dp) - self._xi * nu * (
                 eng.source_load_vec_q(ctx, self._div_u_qp(P, u))
             )
@@ -1646,15 +1587,6 @@ class FractionalStep_AB_CN:
                 matvec, b3, x0=u, M=M, rtol=sc.rtol, atol=sc.atol, maxiter=sc.maxiter
             )
             return res.x, res.iters, res.converged
-        if self._co is not None:
-            co = P["co"]
-            g = cv.mixed_exact(co, P["cu"].G_c, dp, ctx.axis)
-            matvec = lambda x: cv.matvec_exact(x, P["cu"].M_c, co, "v", ctx.axis)
-            M = jacobi_preconditioner(P["M_diag"])
-            sc = self._solver_c
-            b3 = matvec(u) - dt * g
-            res = cg_batched(matvec, b3, x0=u, M=M, rtol=sc.rtol, atol=sc.atol, maxiter=sc.maxiter)
-            return res.x, res.iters, res.converged
         if self._low_memory:
             g = eng.grad_p_vecs(ctx, dp)
         else:
@@ -1714,7 +1646,7 @@ class FractionalStep_AB_CN:
 
     def _build_step(self) -> None:
         if self._solver_u.method == "gmres" and (
-            self._co is not None or self._pallas_tent is not None or self._slab is not None
+            self._pallas_tent is not None or self._slab is not None
         ):
             logger.info(
                 "ksp_type gmres requested for the tentative solves; the "
@@ -2128,7 +2060,7 @@ class FractionalStep_AB_CN:
             raise RuntimeError("call assemble_first first")
         n = self._Vi[0][0].num_dofs
         cd = np.asarray(self._ctx.cd_v)
-        if self._co is not None or self._pallas_tent is not None:
+        if self._pallas_tent is not None:
             # materialize per-cell element matrices from the per-shape
             # constants (stored on CubeOps) + the general convection kernel
             uab = jnp.asarray(
