@@ -62,9 +62,15 @@ class DirichletBC:
         self._dofs: np.ndarray | None = None
         self._V: FunctionSpace | None = None
         self._vals: np.ndarray | None = None
+        # bumped whenever dofs/values actually change; lets the solver cache
+        # its assembled per-component BC value arrays across solve()/run()
+        # calls (the host build + device upload costs ~tens of ms per call
+        # at 1M dofs over the relay)
+        self._version = 0
 
     def set_dofs(self, dofs: np.ndarray) -> None:
         self._dofs = np.asarray(dofs, dtype=np.int32)
+        self._version += 1
 
     def _locate_dofs(self, V: FunctionSpace) -> None:
         if self._method == LocatorMethod.GEOMETRICAL:
@@ -82,6 +88,7 @@ class DirichletBC:
         """Re-evaluate a time-dependent callable value (bcs.py:128-133)."""
         if self._V is None:
             return
+        old = self._vals
         if callable(self._value):
             x = self._V.dof_coords[self._dofs]
             pad = np.zeros((3, x.shape[0]))
@@ -90,6 +97,8 @@ class DirichletBC:
         else:
             v = self._value.value if isinstance(self._value, Constant) else self._value
             self._vals = np.full(len(self._dofs), float(v))
+        if old is None or old.shape != self._vals.shape or not np.array_equal(old, self._vals):
+            self._version += 1
 
     @property
     def dofs(self) -> np.ndarray:

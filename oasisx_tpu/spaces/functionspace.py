@@ -122,10 +122,25 @@ class Function:
         self.function_space = V
         self.name = name
         self._array = np.zeros(V.num_dofs, dtype=dtype)
+        self._sync_hook = None
         self.x = _XView(self)
+
+    def _host_access(self) -> None:
+        """Fire the owner's device→host sync before any host array access.
+
+        A solver that parked its state on the device (FractionalStep_AB_CN
+        run()/solve(): the host boundary costs ~0.5-1 s per call over the
+        relay) installs a one-shot hook here; the first host access to any
+        state function pulls the device state back and — since a caller
+        holding the NumPy array may write through it — invalidates the
+        device copy."""
+        if self._sync_hook is not None:
+            hook, self._sync_hook = self._sync_hook, None
+            hook()
 
     @property
     def array(self) -> np.ndarray:
+        self._host_access()
         return self._array
 
     def interpolate(self, value) -> None:
@@ -135,6 +150,7 @@ class Function:
         convention, e.g. demo/taylor_green.py:41-53); for vector spaces they
         must return an array of shape (bs, n).
         """
+        self._host_access()
         V = self.function_space
         if callable(value):
             x = V.dof_coords
@@ -157,6 +173,7 @@ class Function:
                 self._array.reshape(-1, V.bs)[:] = arr[None, :]
 
     def copy(self) -> "Function":
+        self._host_access()
         g = Function(self.function_space, name=self.name, dtype=self._array.dtype)
         g._array[:] = self._array
         return g
@@ -175,6 +192,7 @@ class _XView:
 
     @property
     def array(self) -> np.ndarray:
+        self._f._host_access()
         return self._f._array
 
     def scatter_forward(self) -> None:
