@@ -77,10 +77,9 @@ def measure(solver, dt, nu, steps=25, windows=5):
     # median and the best of ``windows`` timing windows — the shared TPU
     # relay's throughput fluctuates ~2x with external load; the median is
     # the honest headline (VERDICT r2 weak #4) and the best estimates the
-    # machine's unloaded capability.  25-step windows amortize the run()
-    # host boundary (state conversion + relay host<->device transfers,
-    # ~0.5-1 s per call — round-3 profiling) the way a real simulation
-    # does; the metric is steady-state stepping throughput.
+    # machine's unloaded capability.  State stays device-resident across
+    # run() calls (lazy host sync), so the windows measure steady-state
+    # stepping; the trailing isfinite check is the one host sync.
     solver.run(steps, dt, nu, max_iter=1)
     times, stats = [], None
     for _ in range(windows):
