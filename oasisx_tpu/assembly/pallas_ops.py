@@ -474,7 +474,7 @@ def make_tent_matvec_hbm(sm: StructuredMap, interpret: bool = False):
             kernel,
             out_shape=jax.ShapeDtypeStruct(gshape, x.dtype),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
