@@ -135,11 +135,17 @@ def make_pressure_cg(
     lmin: float = 0.0,
     lmax: float = 0.0,
     project_nullspace: bool = True,
+    mg: dict | None = None,
     interpret: bool = False,
 ) -> Callable:
     """Whole-solve kernel: preconditioned CG for the pressure Poisson.
 
-    Preconditioner: Jacobi (cheb_degree == 0) or a degree-``cheb_degree``
+    Preconditioner: a geometric multigrid V-cycle when ``mg`` (from
+    :func:`build_pressure_mg_data`) is given — damped-Jacobi smoothing,
+    axis-separable trilinear transfers (minor axes as MXU matmuls, leading
+    axis as baked slice-accumulate), Chebyshev-Jacobi coarsest solve;
+    symmetric (R = P^T, equal pre/post sweeps), so valid inside CG.
+    Otherwise Jacobi (cheb_degree == 0) or a degree-``cheb_degree``
     Chebyshev acceleration of Jacobi with eigenvalue bounds [lmin, lmax] of
     D^-1 A (Saad, Iterative Methods, alg. 12.1 adapted as a preconditioner).
     The singular Neumann operator is handled by demeaning b and the final
@@ -153,12 +159,27 @@ def make_pressure_cg(
     invd = np.asarray(inv_diag_flat, dtype=np.float32).reshape(gshape)
     rtol = float(rtol)
     nmean = float(npad)
+    d = len(sm_q[1])
+    L = len(mg["levels"]) if mg is not None else 1
+    n_tr = L - 1  # level transitions
+    # kernel ref layout: inputs [b, x0, invd0, invd_1..L-1, 4 mats x n_tr],
+    # outputs [x, it, res, conv], scratch [r, z, p, Ap, (r,z,t) x (L-1)]
+    n_in = 3 + n_tr + 4 * n_tr
 
-    def kernel(b_ref, x0_ref, invd_ref, x_out, it_out, res_out, conv_out, r_s, z_s, p_s, Ap_s):
+    def kernel(*refs):
         """Ref-mutation PCG: vectors live in the output / scratch refs and
         the while carry holds only scalars — keeps the scoped-VMEM stack
         under the 16 MB limit (loop-carried vector values each cost a full
         buffer)."""
+        b_ref, x0_ref, invd_ref = refs[:3]
+        mg_invd = refs[3 : 3 + n_tr]
+        mg_mats = [refs[3 + n_tr + 4 * t : 3 + n_tr + 4 * (t + 1)] for t in range(n_tr)]
+        x_out, it_out, res_out, conv_out, r_s, z_s, p_s, Ap_s = refs[n_in : n_in + 8]
+        mg_scr = refs[n_in + 8 :]
+        invd_refs = [invd_ref] + list(mg_invd)
+        r_refs = [r_s] + [mg_scr[3 * t] for t in range(n_tr)]
+        z_refs = [z_s] + [mg_scr[3 * t + 1] for t in range(n_tr)]
+        t_refs = [Ap_s] + [mg_scr[3 * t + 2] for t in range(n_tr)]
 
         def matvec_from(src_ref):
             Ap_s[:] = jnp.zeros_like(Ap_s)
@@ -169,26 +190,109 @@ def make_pressure_cg(
                 return v
             return v - jnp.sum(v) / nmean
 
-        def precond_r_into_z():
-            """z_s <- P(A) r_s (Jacobi or Chebyshev-Jacobi)."""
-            invd_c = invd_ref[:]
-            if cheb_degree == 0:
-                z_s[:] = invd_c * r_s[:]
+        def matvec_level(li, src_ref, dst_ref):
+            lvl = mg["levels"][li]
+            dst_ref[:] = jnp.zeros_like(dst_ref)
+            sml = (None, lvl["cells"], 1, None, None)
+            _matvec_body(src_ref, dst_ref, Ap * lvl["scale"], sml)
+
+        def dotf(a, b):
+            return jax.lax.dot(a, b, preferred_element_type=jnp.float32)
+
+        def smooth(li, sweeps, from_zero):
+            om = mg["omega"]
+            iv = invd_refs[li][:]
+            if from_zero:
+                z_refs[li][:] = om * iv * r_refs[li][:]
+                sweeps -= 1
+            for _ in range(sweeps):
+                matvec_level(li, z_refs[li], t_refs[li])
+                z_refs[li][:] = z_refs[li][:] + om * iv * (
+                    r_refs[li][:] - t_refs[li][:]
+                )
+
+        def restrict_into(li, v, out_ref):
+            # v: fine residual value WITHOUT the channel axis
+            AT, A_, B, BT = (m[:] for m in mg_mats[li])
+            gf = mg["levels"][li]["grid"]
+            gc = mg["levels"][li + 1]["grid"]
+            if d == 2:
+                out_ref[0] = dotf(AT, dotf(v, B))
                 return
-            theta = 0.5 * (lmax + lmin)
-            delta = 0.5 * (lmax - lmin)
+            rows = [dotf(AT, dotf(v[i], B)) for i in range(gf[0])]
+            for I in range(gc[0]):
+                acc = rows[2 * I]
+                if 2 * I - 1 >= 0:
+                    acc = acc + 0.5 * rows[2 * I - 1]
+                if 2 * I + 1 < gf[0]:
+                    acc = acc + 0.5 * rows[2 * I + 1]
+                out_ref[0, I] = acc
+
+        def prolong_add(li, zc_ref, zf_ref):
+            AT, A_, B, BT = (m[:] for m in mg_mats[li])
+            gf = mg["levels"][li]["grid"]
+            gc = mg["levels"][li + 1]["grid"]
+            Zc = zc_ref[:][0]
+            if d == 2:
+                zf_ref[0] = zf_ref[0] + dotf(A_, dotf(Zc, BT))
+                return
+            ups = [dotf(A_, dotf(Zc[I], BT)) for I in range(gc[0])]
+            for i in range(gf[0]):
+                if i % 2 == 0:
+                    add = ups[i // 2]
+                else:
+                    add = 0.5 * (ups[(i - 1) // 2] + ups[(i + 1) // 2])
+                zf_ref[0, i] = zf_ref[0, i] + add
+
+        def cheb_into(li, deg_, lmin_, lmax_, r_ref, z_ref, t_ref, mv):
+            """z <- p(D^-1 A) D^-1 r, the Chebyshev-Jacobi application."""
+            iv = invd_refs[li][:]
+            theta = 0.5 * (lmax_ + lmin_)
+            delta = 0.5 * (lmax_ - lmin_)
             sigma1 = theta / delta
             rho = 1.0 / sigma1
-            dk = (invd_c * r_s[:]) / theta
-            z_s[:] = dk
-            for _ in range(cheb_degree - 1):
+            dk = (iv * r_ref[:]) / theta
+            z_ref[:] = dk
+            for _ in range(deg_ - 1):
                 rho_new = 1.0 / (2.0 * sigma1 - rho)
-                matvec_from(z_s)
+                mv(z_ref, t_ref)
                 dk = rho_new * rho * dk + (2.0 * rho_new / delta) * (
-                    invd_ref[:] * (r_s[:] - Ap_s[:])
+                    iv * (r_ref[:] - t_ref[:])
                 )
-                z_s[:] = z_s[:] + dk
+                z_ref[:] = z_ref[:] + dk
                 rho = rho_new
+
+        def vcycle():
+            ns = mg["nsmooth"]
+            for li in range(L - 1):
+                smooth(li, ns, from_zero=True)
+                matvec_level(li, z_refs[li], t_refs[li])
+                resid = r_refs[li][:] - t_refs[li][:]
+                restrict_into(li, resid[0], r_refs[li + 1])
+            lmin_c, lmax_c, cdeg = mg["coarse"]
+            lc = L - 1
+            cheb_into(
+                lc, cdeg, lmin_c, lmax_c, r_refs[lc], z_refs[lc], t_refs[lc],
+                lambda s, t: matvec_level(lc, s, t),
+            )
+            for li in reversed(range(L - 1)):
+                prolong_add(li, z_refs[li + 1], z_refs[li])
+                smooth(li, ns, from_zero=False)
+
+        def precond_r_into_z():
+            """z_s <- M^-1 r_s (V-cycle, Chebyshev-Jacobi, or Jacobi)."""
+            if mg is not None:
+                vcycle()
+                if project_nullspace:
+                    z_s[:] = demean(z_s[:])
+                return
+            if cheb_degree == 0:
+                z_s[:] = invd_ref[:] * r_s[:]
+                return
+            cheb_into(
+                0, cheb_degree, lmin, lmax, r_s, z_s, Ap_s,
+                lambda s, t: matvec_from(s),
+            )
 
         b = demean(b_ref[:])
         bnorm = jnp.sqrt(jnp.sum(b * b))
@@ -227,6 +331,17 @@ def make_pressure_cg(
         res_out[0] = rnorm
         conv_out[0] = (rnorm <= tol).astype(jnp.int32)
 
+    mg_inputs = []
+    mg_scratch_shapes = []
+    if mg is not None:
+        for lvl in mg["levels"][1:]:
+            mg_inputs.append(jnp.asarray(lvl["invd"][None], dtype=jnp.float32))
+        for mats in mg["transfers"]:
+            mg_inputs.extend(jnp.asarray(m, dtype=jnp.float32) for m in mats)
+        for lvl in mg["levels"][1:]:
+            shp = (1,) + tuple(lvl["grid"])
+            mg_scratch_shapes.extend(pltpu.VMEM(shp, jnp.float32) for _ in range(3))
+
     @jax.jit
     def solve(b, x0):
         x, it, res, conv = pl.pallas_call(
@@ -238,9 +353,8 @@ def make_pressure_cg(
                 jax.ShapeDtypeStruct((1,), jnp.int32),
             ),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM)
+                for _ in range(3 + len(mg_inputs))
             ],
             out_specs=(
                 pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -253,10 +367,16 @@ def make_pressure_cg(
                 pltpu.VMEM(gshape, b.dtype),
                 pltpu.VMEM(gshape, b.dtype),
                 pltpu.VMEM(gshape, b.dtype),
-            ],
+            ]
+            + mg_scratch_shapes,
             compiler_params=_BIG_VMEM,
             interpret=interpret,
-        )(b.reshape(gshape), x0.reshape(gshape), jnp.asarray(invd, dtype=b.dtype))
+        )(
+            b.reshape(gshape),
+            x0.reshape(gshape),
+            jnp.asarray(invd, dtype=b.dtype),
+            *mg_inputs,
+        )
         return x.reshape(-1), it[0], res[0], conv[0].astype(bool)
 
     return solve
@@ -279,6 +399,114 @@ def estimate_eig_bounds(matvec, n, dtype, iters: int = 15, seed: int = 0):
         v = w / nw
     lmax = abs(lam) * 1.05
     return lmax / 30.0, lmax
+
+
+def build_pressure_mg_data(
+    sm_q: StructuredMap,
+    Ap_c: np.ndarray,
+    coarsest: int = 3,
+    nsmooth: int = 2,
+    omega: float = 0.8,
+    coarse_degree: int = 14,
+) -> dict | None:
+    """Host-side setup for the in-kernel geometric V-cycle preconditioner
+    (VERDICT r3 #2): level hierarchy, per-level Jacobi diagonals, 1-D
+    transfer matrices, and exact coarsest-level Chebyshev eigenvalue bounds.
+
+    The P1 pressure grid on a structured generator mesh coarsens by cell
+    halving; uniform refinement scales ALL spacings together, so the coarse
+    cube element matrix is exactly ``Ap_c * 2**(l*(d-2))`` (stiffness scales
+    as h^(d-2)) — the per-level matvec reuses the fine slice-accumulate
+    kernel body with rescaled baked constants. Transfers are trilinear
+    interpolation P (restriction = P^T): axis-separable — minor (sublane/
+    lane) axes apply tiny dense 1-D matrices on the MXU, the leading axis
+    is slice-accumulate with baked 1.0/0.5 weights. The coarsest level is
+    solved by a degree-``coarse_degree`` Chebyshev-Jacobi iteration with
+    eigenvalue bounds computed exactly (dense eigvalsh, <= ~1.3k dofs) —
+    no reshape/retile-hostile dense-pinv matmul inside the kernel.
+
+    Returns None when the grid does not coarsen (odd cells / too coarse /
+    degree != 1), in which case the Chebyshev-Jacobi kernel path applies.
+    Replaces the reference's MUMPS LU pressure solve
+    (/root/reference/src/oasisx/fracstep.py:553-605) at scale.
+    """
+    _, cells, deg, _, _ = sm_q
+    d = len(cells)
+    if deg != 1 or d not in (2, 3):
+        return None
+    res = [tuple(int(c) for c in cells)]
+    while all(c % 2 == 0 and c // 2 >= coarsest for c in res[-1]):
+        res.append(tuple(c // 2 for c in res[-1]))
+    if len(res) < 2:
+        return None
+    Ap = np.asarray(Ap_c, np.float64)
+    levels = []
+    for li, cl in enumerate(res):
+        scale = 2.0 ** (li * (d - 2))
+        grid = tuple(c + 1 for c in cl)
+        D = np.zeros(grid)
+        for t in range(2**d):
+            base = np.unravel_index(t, (2,) * d)
+            slc = tuple(slice(int(b), int(b) + c) for b, c in zip(base, cl))
+            D[slc] += Ap[t, t] * scale
+        invd = (1.0 / np.where(D != 0, D, 1.0)).astype(np.float32)
+        levels.append(dict(cells=cl, grid=grid, scale=scale, invd=invd))
+
+    def interp1d(nf: int, nc: int) -> np.ndarray:
+        P = np.zeros((nf, nc), np.float32)
+        for i in range(nf):
+            if i % 2 == 0:
+                P[i, i // 2] = 1.0
+            else:
+                P[i, (i - 1) // 2] = 0.5
+                P[i, (i + 1) // 2] = 0.5
+        return P
+
+    # per transition: (A^T, A, B, B^T) — A interpolates the sublane axis
+    # (grid axis d-2), B the lane axis (d-1); leading axes use baked weights
+    transfers = []
+    for li in range(len(levels) - 1):
+        gf, gc = levels[li]["grid"], levels[li + 1]["grid"]
+        A = interp1d(gf[d - 2], gc[d - 2])
+        B = interp1d(gf[d - 1], gc[d - 1])
+        transfers.append(
+            (
+                np.ascontiguousarray(A.T),
+                A,
+                B,
+                np.ascontiguousarray(B.T),
+            )
+        )
+
+    # exact Chebyshev bounds for the coarsest operator D^{-1}A (singular
+    # Neumann: lmin = smallest NONZERO eigenvalue; the null component is
+    # handled by demeaning at the fine level)
+    Lc = levels[-1]
+    grid_c, cl = Lc["grid"], Lc["cells"]
+    n = int(np.prod(grid_c))
+    idx = np.arange(n).reshape(grid_c)
+    A_dense = np.zeros((n, n))
+    for tO in range(2**d):
+        bO = np.unravel_index(tO, (2,) * d)
+        rows = idx[tuple(slice(int(b), int(b) + c) for b, c in zip(bO, cl))].ravel()
+        for tI in range(2**d):
+            bI = np.unravel_index(tI, (2,) * d)
+            cols = idx[
+                tuple(slice(int(b), int(b) + c) for b, c in zip(bI, cl))
+            ].ravel()
+            np.add.at(A_dense, (rows, cols), Ap[tO, tI] * Lc["scale"])
+    dsqrt = 1.0 / np.sqrt(np.diag(A_dense))
+    w = np.linalg.eigvalsh(A_dense * dsqrt[:, None] * dsqrt[None, :])
+    lmax = float(w[-1]) * 1.02
+    nonzero = w[w > 1e-8 * max(w[-1], 1.0)]
+    lmin = float(nonzero[0]) * 0.95 if len(nonzero) else lmax / 30.0
+    return dict(
+        levels=levels,
+        transfers=transfers,
+        coarse=(lmin, lmax, int(coarse_degree)),
+        nsmooth=int(nsmooth),
+        omega=float(omega),
+    )
 
 
 def conv_weight_tensor(cu) -> np.ndarray:

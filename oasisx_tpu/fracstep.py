@@ -346,7 +346,11 @@ class FractionalStep_AB_CN:
         else:
             mode = "single-device"
         if getattr(self, "_pallas_p", None) is not None:
-            pressure = "pallas-whole-solve"
+            pressure = (
+                "pallas-whole-solve-mg"
+                if getattr(self, "_pallas_p_mg", False)
+                else "pallas-whole-solve-cheb"
+            )
         elif getattr(self, "_mg", None) is not None:
             pressure = "mg-pcg"
         elif getattr(self, "_cheb", None) is not None:
@@ -541,7 +545,9 @@ class FractionalStep_AB_CN:
             qdims[-2] = -(-qdims[-2] // 8) * 8
             qdims[-1] = -(-qdims[-1] // 128) * 128
             q_grid_bytes = 4 * int(np.prod(qdims))
-            if 8.5 * q_grid_bytes > _VMEM_BUDGET:
+            # 8 fine-grid buffers + MG per-level scratch (3 buffers/level,
+            # levels shrink ~2^d-fold) + transfer-row temporaries: ~10x fine
+            if 10.0 * q_grid_bytes > _VMEM_BUDGET:
                 raise ValueError(
                     f"pressure grid too large for VMEM "
                     f"({q_grid_bytes / 1e6:.1f} MB/buffer)"
@@ -550,9 +556,15 @@ class FractionalStep_AB_CN:
             diag = np.asarray(self._Ap_diag)
             invd = np.where(diag != 0, 1.0 / np.where(diag != 0, diag, 1.0), 1.0)
             rtol = _effective_rtol(self._solver_p.rtol, np.float32)
+            # geometric-MG V-cycle preconditioner inside the whole-solve
+            # kernel (VERDICT r3 #2) — falls back to Chebyshev-Jacobi when
+            # the grid does not coarsen or when pc_type says otherwise
+            mg_data = None
+            if opts.get("pallas_pressure_pc", "mg") == "mg":
+                mg_data = po.build_pressure_mg_data(self._ctx.sq, Ap_np)
             deg = int(opts.get("pallas_cheb_degree", 4))
             lmin = lmax = 0.0
-            if deg > 0:
+            if deg > 0 and mg_data is None:
                 mv = po.make_matvec(self._ctx.sq, Ap_np)
                 invd_j = jnp.asarray(invd, jnp.float32)
                 lmin, lmax = po.estimate_eig_bounds(
@@ -567,10 +579,22 @@ class FractionalStep_AB_CN:
                 cheb_degree=deg,
                 lmin=lmin,
                 lmax=lmax,
+                mg=mg_data,
             )
-            logger.info(
-                "pallas pressure solve enabled (cheb degree %d, lmax %.3g)", deg, lmax
-            )
+            self._pallas_p_mg = mg_data is not None
+            if mg_data is not None:
+                logger.info(
+                    "pallas pressure solve enabled (geometric MG V-cycle, "
+                    "%d levels, coarse cheb(%d) on %s)",
+                    len(mg_data["levels"]),
+                    mg_data["coarse"][2],
+                    mg_data["levels"][-1]["grid"],
+                )
+            else:
+                logger.info(
+                    "pallas pressure solve enabled (cheb degree %d, lmax %.3g)",
+                    deg, lmax,
+                )
         except Exception as e:  # pragma: no cover - fallback path
             logger.warning("pallas pressure kernel unavailable: %s", e)
             self._pallas_p = None

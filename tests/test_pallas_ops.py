@@ -71,6 +71,50 @@ def test_pressure_cg_kernel(cheb):
     assert np.abs(xg - xr).max() / scale < 5e-4, np.abs(xg - xr).max()
 
 
+@pytest.mark.parametrize("dim,N", [(2, 16), (3, 8)])
+def test_pressure_mg_kernel(dim, N):
+    """In-kernel geometric-MG PCG (VERDICT r3 #2): matches the XLA CG
+    solution and converges in near-mesh-independent iteration counts
+    (factor >=5 below Jacobi-CG on these sizes)."""
+    mesh, ctx, refs, ops, _, (sm_q, gf_q, _) = setup(dim, N, 2, 1)
+    rng = np.random.default_rng(12)
+    n = int(np.prod(po._grid_shape(sm_q)))
+    Ap = np.asarray(ops.Ap_c)
+    diag = np.asarray(cu.diag_cube(ops.Ap_c, sm_q))
+    invd = np.where(diag != 0, 1.0 / np.where(diag != 0, diag, 1.0), 1.0)
+    mg = po.build_pressure_mg_data(sm_q, Ap, coarsest=2)
+    assert mg is not None and len(mg["levels"]) >= 3
+    solve = po.make_pressure_cg(
+        sm_q, Ap, invd, rtol=1e-6, maxiter=500, mg=mg, interpret=True
+    )
+    b = rng.standard_normal(n).astype(np.float32)
+    b -= b.mean()
+    x, iters, res, conv = solve(jnp.asarray(b), jnp.zeros(n, jnp.float32))
+    assert bool(conv), (int(iters), float(res))
+    assert int(iters) <= 8, int(iters)
+    ref = cg(
+        lambda v: cu.matvec_cube(v, ops.Ap_c.astype(jnp.float32), sm_q),
+        jnp.asarray(b),
+        M=lambda r: jnp.asarray(invd, jnp.float32) * r,
+        rtol=1e-6,
+        maxiter=500,
+        project_nullspace=True,
+    )
+    assert int(iters) * 5 <= int(ref.iters)
+    xr, xg = np.asarray(ref.x), np.asarray(x)
+    scale = max(1.0, np.abs(xr).max())
+    assert np.abs(xg - xr).max() / scale < 5e-4, np.abs(xg - xr).max()
+
+
+def test_pressure_mg_data_gating():
+    """Odd cell counts / high degree do not build an MG hierarchy."""
+    mesh, ctx, refs, ops, (sm_v, _, _), (sm_q, _, _) = setup(2, 5, 2, 1)
+    assert po.build_pressure_mg_data(sm_q, np.asarray(ops.Ap_c)) is None
+    # velocity map has deg=2: not a P1 grid
+    mesh, ctx, refs, ops, (sm_v, _, _), _ = setup(2, 8, 2, 1)
+    assert po.build_pressure_mg_data(sm_v, np.asarray(ops.K_c)) is None
+
+
 def test_gather_scatter_and_staged_matvec():
     """3-stage (gather kernel -> einsum -> scatter kernel) tentative matvec
     vs the cube engine (interpret mode)."""
