@@ -565,11 +565,12 @@ class FractionalStep_AB_CN:
             deg = int(opts.get("pallas_cheb_degree", 4))
             lmin = lmax = 0.0
             if deg > 0 and mg_data is None:
+                from .la import estimate_lmax as _est
+                from .la import validated_cheb_bounds as _vcb
+
                 mv = po.make_matvec(self._ctx.sq, Ap_np)
                 invd_j = jnp.asarray(invd, jnp.float32)
-                lmin, lmax = po.estimate_eig_bounds(
-                    lambda v: invd_j * mv(v), len(invd), jnp.float32
-                )
+                lmin, lmax = _vcb(mv, invd_j, _est(mv, invd_j), deg)
             self._pallas_p = po.make_pressure_cg(
                 self._ctx.sq,
                 Ap_np,
@@ -823,7 +824,7 @@ class FractionalStep_AB_CN:
         if pc in ("jacobi", "none"):
             return
         try:
-            from .la import estimate_lmax
+            from .la import estimate_lmax, validated_cheb_bounds
 
             degree = int((popts or {}).get("cheb_degree", 6))
             if self._slab is not None:
@@ -836,7 +837,8 @@ class FractionalStep_AB_CN:
                     self._dtype,
                 )
                 lmax = estimate_lmax(mv, invd_g)
-                self._cheb = (degree, lmax / 30.0, lmax)
+                lmin, lmax = validated_cheb_bounds(mv, invd_g, lmax, degree)
+                self._cheb = (degree, lmin, lmax)
             else:
                 ctx = self._ctx_single
                 if self._hx_q is not None:
@@ -860,6 +862,7 @@ class FractionalStep_AB_CN:
                         self._dtype,
                     )
                     lmax = estimate_lmax(mv, invd_c)
+                    lmax = validated_cheb_bounds(mv, invd_c, lmax, degree)[1]
                 else:
                     P = self._params()
                     ctx = self._ctx
@@ -875,6 +878,7 @@ class FractionalStep_AB_CN:
                         self._dtype,
                     )
                     lmax = estimate_lmax(mv, invd)
+                    lmax = validated_cheb_bounds(mv, invd, lmax, degree)[1]
                 self._cheb = (degree, lmax / 30.0, lmax)
             logger.info(
                 "pressure Chebyshev(%d)-Jacobi preconditioner enabled (lmax %.3g)",

@@ -16,10 +16,15 @@ surfaced as a value from jitted code (SURVEY §5 failure-detection note).
 
 from __future__ import annotations
 
+import logging
 from typing import Callable, NamedTuple
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+logger = logging.getLogger("oasisx_tpu")
 
 
 class KrylovResult(NamedTuple):
@@ -406,24 +411,77 @@ def chebyshev_preconditioner(
     return M
 
 
-def estimate_lmax(matvec: Callable, inv_diag: jax.Array, iters: int = 15, seed: int = 0):
-    """Power iteration for the largest eigenvalue of D^-1 A (host-driven,
-    setup-time)."""
-    import numpy as _np
+def estimate_lmax(
+    matvec: Callable,
+    inv_diag: jax.Array,
+    iters: int = 60,
+    seed: int = 0,
+    tol: float = 1e-3,
+):
+    """Residual-guarded power iteration for the largest eigenvalue of
+    D^-1 A (host-driven, setup-time).
 
+    An UNDERestimated lmax makes the Chebyshev recurrence diverge
+    (VERDICT r3 #8), so instead of a fixed iteration count with a blind
+    1.05 margin this (a) iterates until the Rayleigh quotient stabilizes
+    to ``tol`` (capped at ``iters``) and (b) pads the estimate by the
+    measured Rayleigh residual ||D^-1 A v - lam v||, which covers the
+    remaining eigenvector error."""
     key = jax.random.PRNGKey(seed)
     v = jax.random.normal(key, inv_diag.shape, dtype=inv_diag.dtype)
     v = v / jnp.linalg.norm(v)
-    lam = 1.0
     mv = jax.jit(lambda x: inv_diag * matvec(x))
-    for _ in range(iters):
+    lam_prev = 0.0
+    for k in range(iters):
         w = mv(v)
-        lam = float(jnp.vdot(v, w))
         nw = float(jnp.linalg.norm(w))
         if nw == 0:
-            break
+            return 1.05
+        lam = float(jnp.vdot(v, w))
         v = w / nw
-    return abs(lam) * 1.05
+        if k >= 4 and abs(lam - lam_prev) <= tol * abs(lam):
+            break
+        lam_prev = lam
+    w = mv(v)
+    lam = float(jnp.vdot(v, w))
+    resid = float(jnp.linalg.norm(w - lam * v))
+    return (abs(lam) + resid) * 1.02
+
+
+def validated_cheb_bounds(
+    matvec: Callable,
+    inv_diag: jax.Array,
+    lmax: float,
+    degree: int,
+    tries: int = 5,
+    seed: int = 1,
+):
+    """Divergence backstop for Chebyshev-Jacobi (VERDICT r3 #8): a
+    polynomial built on an underestimated lmax AMPLIFIES the top of the
+    spectrum exponentially instead of damping it. Apply the candidate
+    preconditioner's error operator E = I - A M three times to a random
+    (demeaned — the singular Neumann null component passes through E
+    unchanged) vector; if ||E^3 r|| exceeds ||r||, double lmax and retry.
+    Returns validated (lmin, lmax)."""
+    key = jax.random.PRNGKey(seed)
+    r0 = jax.random.normal(key, inv_diag.shape, dtype=inv_diag.dtype)
+    r0 = r0 - jnp.mean(r0)
+    rn = float(jnp.linalg.norm(r0))
+    for _ in range(tries):
+        M = chebyshev_preconditioner(matvec, inv_diag, lmax / 30.0, lmax, degree)
+        E = jax.jit(lambda r: r - matvec(M(r)))
+        r = r0
+        for _ in range(3):
+            r = E(r)
+        en = float(jnp.linalg.norm(r))
+        if np.isfinite(en) and en <= rn:
+            return lmax / 30.0, lmax
+        logger.warning(
+            "chebyshev bounds rejected (||E^3 r||/||r|| = %.3g); doubling "
+            "lmax %.3g -> %.3g", en / rn if rn else float("inf"), lmax, 2 * lmax
+        )
+        lmax *= 2.0
+    return lmax / 30.0, lmax
 
 
 def gmres(

@@ -258,3 +258,39 @@ def test_cylinder_outlet_with_gmres_tentative():
         assert solver.last_stats["p_converged"]
     u0 = solver._u[0].x.array
     assert np.isfinite(u0).all() and np.abs(u0).max() < 1.0
+
+
+def test_cheb_backstop_bad_lmax_still_converges():
+    """VERDICT r3 #8: a deliberately bad (4x underestimated) lmax seed is
+    rejected by the residual-guarded backstop and the returned bounds give
+    a converging Chebyshev-preconditioned CG."""
+    from oasisx_tpu.la import chebyshev_preconditioner, estimate_lmax
+    from oasisx_tpu.la.krylov import validated_cheb_bounds
+
+    n = 80
+    rng = np.random.default_rng(3)
+    # 1D Poisson (SPD, cond ~ n^2) with jittered diagonal
+    main = 2.0 + 0.1 * rng.random(n)
+    A = np.diag(main) - np.diag(np.ones(n - 1), 1) - np.diag(np.ones(n - 1), -1)
+    Aj = jnp.asarray(A)
+    mv = lambda x: Aj @ x
+    invd = jnp.asarray(1.0 / main)
+    true_lmax = float(np.linalg.eigvalsh(np.diag(1 / np.sqrt(main)) @ A
+                                         @ np.diag(1 / np.sqrt(main)))[-1])
+
+    # the guarded estimator alone is already >= the true value
+    est = estimate_lmax(mv, invd)
+    assert est >= true_lmax * 0.999
+
+    # a bad seed must be bumped by the backstop until the polynomial damps
+    lmin, lmax = validated_cheb_bounds(mv, invd, true_lmax / 4.0, degree=6)
+    assert lmax >= true_lmax * 0.9
+    M = chebyshev_preconditioner(mv, invd, lmin, lmax, degree=6)
+    b = jnp.asarray(rng.standard_normal(n))
+    res = cg(mv, b, M=M, rtol=1e-8, maxiter=200)
+    assert bool(res.converged), int(res.iters)
+    # and the bad bounds really would have diverged without the backstop
+    Mbad = chebyshev_preconditioner(mv, invd, true_lmax / 120.0,
+                                    true_lmax / 4.0, degree=6)
+    res_bad = cg(mv, b, M=Mbad, rtol=1e-8, maxiter=200)
+    assert not bool(res_bad.converged)
