@@ -643,6 +643,77 @@ def make_scatter_chunked(sm, batch=1, interpret=False, max_slots=9):
     return scatter
 
 
+def make_ell_matvec(K: int, nrows: int, nin: int, interpret: bool = False):
+    """Per-shard unstructured ELL matvec as ONE kernel (VERDICT r3 #4):
+
+        y[r] = sum_k vals[k, r] * x[cols[k, r]]
+
+    take + FMA only — no per-element scatters, no reshapes.  ``vals`` is
+    (re)assembled once per solve from the element stacks (graph.ell_values,
+    one segment-sum hoisted out of the Krylov loop); ``cols`` is a static
+    per-shard table passed as a kernel input.  The rows include halo dofs,
+    so the caller wraps halo_refresh / halo_fold around the application —
+    the graph-halo analogue of the slab path's per-shard kernels
+    (fracstep._slab_apply).  fn(vals (K, nrows), cols (K, nrows) i32,
+    x (nin,)) -> y (nrows,)."""
+
+    def kernel(vals_ref, cols_ref, x_ref, y_ref):
+        xv = x_ref[:]
+        acc = None
+        for k in range(K):
+            t = vals_ref[k] * jnp.take(xv, cols_ref[k], axis=0)
+            acc = t if acc is None else acc + t
+        y_ref[:] = acc
+
+    @jax.jit
+    def mv(vals, cols, x):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((nrows,), x.dtype),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            compiler_params=_BIG_VMEM,
+            interpret=interpret,
+        )(vals, cols, x)
+
+    return mv
+
+
+def make_ell_matvec_batched(
+    K: int, nrows: int, nin: int, nb: int, interpret: bool = False
+):
+    """Batched ELL matvec (all ``nb`` components in ONE kernel):
+
+        y[b, r] = sum_k vals[k, r] * x[b, cols[k, r]]
+
+    Same scheme as :func:`make_ell_matvec`; the operator (vals/cols) is
+    shared across components — the graph-halo analogue of the batched
+    plane-flat matvecs.  fn(vals (K, nrows), cols (K, nrows) i32,
+    x (nb, nin)) -> y (nb, nrows)."""
+
+    def kernel(vals_ref, cols_ref, x_ref, y_ref):
+        for b in range(nb):
+            xv = x_ref[b]
+            acc = None
+            for k in range(K):
+                t = vals_ref[k] * jnp.take(xv, cols_ref[k], axis=0)
+                acc = t if acc is None else acc + t
+            y_ref[b] = acc
+
+    @jax.jit
+    def mv(vals, cols, x):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((nb, nrows), x.dtype),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            compiler_params=_BIG_VMEM,
+            interpret=interpret,
+        )(vals, cols, x)
+
+    return mv
+
+
 def make_tent_matvec_hbm(sm: StructuredMap, interpret: bool = False):
     """Fully-fused per-component tentative matvec:
 

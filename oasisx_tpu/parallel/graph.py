@@ -172,6 +172,70 @@ def build_halo_exchange(
     )
 
 
+def build_ell_tables(
+    cd_rows: np.ndarray, cd_cols: np.ndarray, nloc: int, ndev: int
+) -> tuple[int, np.ndarray, np.ndarray]:
+    """Per-shard ELL sparsity for the local operator (VERDICT r3 #4).
+
+    The per-shard matvec in ELL form is pure take+FMA —
+    ``y[r] = sum_k vals[k, r] * x[cols[k, r]]`` — the TPU-friendliest
+    unstructured operator application (no per-element scatters; the values
+    are (re)assembled once per solve from the element stacks by ONE
+    segment-sum, hoisted out of the Krylov loop).
+
+    ``cd_rows``/``cd_cols`` are shard-blocked local cell dofmaps
+    (ndev*cps, ndr/ndc) as built by :func:`build_halo_exchange`
+    (sentinel-padded rows mark padded cells). Returns
+    ``(K, slots (ndev, cps*ndr*ndc) int32, cols (ndev, K, nloc) int32)``
+    where ``slots`` maps each flattened per-shard element-matrix entry to
+    its segment ``k*nloc + row`` (padded cells -> the dropped sentinel
+    segment ``K*nloc``) and unassigned (k, row) slots keep value 0 /
+    column 0.
+    """
+    ncp_total, ndr = cd_rows.shape
+    ndc = cd_cols.shape[1]
+    cps = ncp_total // ndev
+    sent_dof = nloc - 1
+    per_shard = []  # (valid mask, inv->unique, urow (sorted), ucol, kidx)
+    Ks = []
+    for s in range(ndev):
+        cr = cd_rows[s * cps : (s + 1) * cps].astype(np.int64)
+        cc = cd_cols[s * cps : (s + 1) * cps].astype(np.int64)
+        pad_cell = (cr == sent_dof).all(axis=1)
+        key = (
+            np.broadcast_to(cr[:, :, None], (cps, ndr, ndc)) * nloc
+            + np.broadcast_to(cc[:, None, :], (cps, ndr, ndc))
+        ).reshape(-1)
+        valid = np.broadcast_to(
+            ~pad_cell[:, None, None], (cps, ndr, ndc)
+        ).reshape(-1)
+        uniq, inv = np.unique(key[valid], return_inverse=True)
+        urow = uniq // nloc
+        ucol = uniq % nloc
+        # per-row running slot index (uniq is sorted, so rows are grouped)
+        row_start = np.searchsorted(urow, urow)
+        kidx = np.arange(len(uniq)) - row_start
+        per_shard.append((valid, inv, urow, ucol, kidx))
+        Ks.append(int(kidx.max()) + 1 if len(uniq) else 1)
+    K = max(Ks)
+
+    slots = np.full((ndev, cps * ndr * ndc), K * nloc, dtype=np.int32)
+    cols = np.zeros((ndev, K, nloc), dtype=np.int32)
+    for s, (valid, inv, urow, ucol, kidx) in enumerate(per_shard):
+        slots[s, valid] = (kidx[inv] * nloc + urow[inv]).astype(np.int32)
+        cols[s, kidx, urow] = ucol.astype(np.int32)
+    return K, slots, cols
+
+
+def ell_values(elems: jax.Array, slots: jax.Array, K: int, nloc: int) -> jax.Array:
+    """Assemble ELL values (K, nloc) from a per-shard element-matrix stack
+    (one segment-sum per SOLVE, not per Krylov iteration)."""
+    v = jax.ops.segment_sum(
+        elems.reshape(-1), slots, num_segments=K * nloc + 1
+    )
+    return v[:-1].reshape(K, nloc)
+
+
 # ---------------------------------------------------------------------------
 # device-side collectives (called inside shard_map over `axis`); the tables
 # arrive as per-shard blocks of the (ndev, B) arrays (leading dim sharded)

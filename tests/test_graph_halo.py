@@ -176,7 +176,7 @@ def test_halo_matvec_matches_dense():
     assert np.allclose(got[hx.perm], ref, atol=1e-11), np.abs(got[hx.perm] - ref).max()
 
 
-def _cylinder_solver(device_mesh=None, rotational=False, res=10):
+def _cylinder_solver(device_mesh=None, rotational=False, res=10, options=None):
     from oasisx_tpu import DirichletBC, FractionalStep_AB_CN, LocatorMethod, PressureBC
     from oasisx_tpu.meshes import locate_entities_boundary, meshtags
     from oasisx_tpu.meshes.generation import create_cylinder_channel
@@ -218,6 +218,7 @@ def _cylinder_solver(device_mesh=None, rotational=False, res=10):
         rotational=rotational,
         solver_options={"tentative": dict(opts), "pressure": dict(opts), "scalar": dict(opts)},
         device_mesh=device_mesh,
+        options=options,
     )
 
 
@@ -290,3 +291,86 @@ def test_sharded_pressure_chebyshev_cuts_iterations():
     assert itc <= 2 * max(it1, 1), (itc, it1)
     # and the solutions agree
     assert np.abs(sc._p.x.array - s1._p.x.array).max() < 1e-8
+
+
+def test_ell_matvec_matches_dense():
+    """Per-shard ELL operator (build_ell_tables + ell_values +
+    make_ell_matvec in interpret mode) composed with refresh/fold ==
+    global element matvec (VERDICT r3 #4)."""
+    from oasisx_tpu.assembly import pallas_ops as po
+
+    ndev = 8
+    dmesh = _mesh(ndev)
+    mesh, V, cd, shard_of, cell_perm, B, hx = _setup(ndev)
+    rng = np.random.default_rng(4)
+    nd = V.num_dofs
+    ndpc = cd.shape[1]
+    elems = rng.standard_normal((len(cd), ndpc, ndpc))
+    xg = rng.standard_normal(nd)
+
+    ref = np.zeros(nd)
+    for c in range(len(cd)):
+        ref[cd[c]] += elems[c] @ xg[cd[c]]
+
+    nloc = hx.nloc
+    K, slots, cols = G.build_ell_tables(
+        hx.cell_dofs_local, hx.cell_dofs_local, nloc, ndev
+    )
+    elems_b = np.zeros((ndev * B, ndpc, ndpc))
+    for i, c in enumerate(cell_perm):
+        if c >= 0:
+            elems_b[i] = elems[c]
+    x_loc = np.zeros(ndev * nloc)
+    x_loc[hx.perm] = xg
+    tree, deltas = G.make_halo_tables(hx, jnp.float64)
+    specs = G.halo_tree_specs(tree, "s")
+    kern = po.make_ell_matvec(K, nloc, nloc, interpret=True)
+
+    def mv(x, E, slots_s, cols_s, tree):
+        vals = G.ell_values(E, slots_s[0], K, nloc)
+        x = G.halo_refresh(x, tree, deltas, "s")
+        y = kern(vals, cols_s[0], x)
+        return G.halo_fold(y, tree, deltas, "s")
+
+    y = jax.jit(
+        jax.shard_map(
+            mv,
+            mesh=dmesh,
+            in_specs=(P("s"), P("s", None, None), P("s", None),
+                      P("s", None, None), specs),
+            out_specs=P("s"),
+            check_vma=False,
+        )
+    )(
+        jnp.asarray(x_loc), jnp.asarray(elems_b.reshape(ndev * B, ndpc, ndpc)),
+        jnp.asarray(slots), jnp.asarray(cols), tree,
+    )
+    got = np.asarray(y)
+    assert np.allclose(got[hx.perm], ref, atol=1e-11), np.abs(got[hx.perm] - ref).max()
+
+
+@pytest.mark.parametrize("rotational", [False, True])
+def test_halo_ell_kernel_cylinder_matches_single_device(rotational):
+    """Graph-halo sharded cylinder with the per-shard ELL Pallas kernels
+    (interpret mode) == single device to 1e-9 — the VERDICT r3 #4 'done'
+    criterion: the kernel path runs in tests and engages on TPU."""
+    dmesh = _mesh(8)
+    ref = _cylinder_solver(rotational=rotational)
+    sol = _cylinder_solver(
+        device_mesh=dmesh, rotational=rotational,
+        options={"pallas": "interpret"},
+    )
+    assert sol._hx_v is not None, "halo sharding did not engage"
+    assert sol._halo_kernels is not None, "ELL kernels did not engage"
+
+    dt, nu = 2e-3, 1e-3
+    for _ in range(2):
+        ref.solve(dt, nu, max_iter=2)
+        sol.solve(dt, nu, max_iter=2)
+        assert sol.last_stats["u_converged"].all()
+        assert sol.last_stats["p_converged"]
+
+    for i in range(2):
+        a, b = ref._u[i].x.array, sol._u[i].x.array
+        assert np.abs(a - b).max() < 1e-9, (i, np.abs(a - b).max())
+    assert np.abs(ref._p.x.array - sol._p.x.array).max() < 1e-8
