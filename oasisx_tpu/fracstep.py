@@ -380,6 +380,62 @@ class FractionalStep_AB_CN:
             "dtype": str(np.dtype(self._dtype)),
         }
 
+    def halo_traffic_report(self) -> dict | None:
+        """Static ICI halo-exchange traffic accounting (VERDICT r3 #5).
+
+        Per function space: ``bytes_per_exchange`` is the payload one
+        halo refresh (== one fold) moves over the ICI ring across ALL
+        shards — the fixed-size ppermute buffers actually transferred,
+        padding included — and ``owned_bytes`` is the total owned-dof
+        state, so ``ratio`` is the communicated fraction per operator
+        application (the surface-to-volume figure of the decomposition).
+        Multiply by the per-step application counts (iteration stats) for
+        bytes/step.  Returns None on a single device / replicated mode
+        (replicated psums move the FULL vector per application)."""
+        fb = np.dtype(self._dtype).itemsize
+
+        if self._hx_v is not None:
+            ndev = self._hx_v.ndev
+
+            def space(hx):
+                per_ex = sum(
+                    ndev * pack.shape[1] for (_, pack, _) in hx.sched
+                ) * fb
+                owned = int(hx.ownmask.sum()) * fb
+                return dict(
+                    bytes_per_exchange=per_ex,
+                    owned_bytes=owned,
+                    ratio=per_ex / max(owned, 1),
+                )
+
+            return dict(
+                mode="graph-halo", ndev=ndev,
+                v=space(self._hx_v), q=space(self._hx_q),
+            )
+        if self._slab is not None:
+            info = self._slab
+            d = self._mesh.dim
+
+            def space(sm_loc, valid):
+                pshape = sm_loc[0]
+                plane = int(np.prod(pshape)) // int(pshape[d])
+                # one plane buffer per shard boundary, both directions share
+                # the schedule (refresh: ndev-1 sends; fold: ndev-1 sends)
+                per_ex = (info.ndev - 1) * plane * fb
+                owned = int(np.asarray(valid).sum()) * fb
+                return dict(
+                    bytes_per_exchange=per_ex,
+                    owned_bytes=owned,
+                    ratio=per_ex / max(owned, 1),
+                )
+
+            return dict(
+                mode="slab-halo", ndev=info.ndev,
+                v=space(info.sm_v_loc, info.valid_v),
+                q=space(info.sm_q_loc, info.valid_q),
+            )
+        return None
+
     # --- canonical <-> internal dof-order conversion (structured/slab) -----
     def _pv(self, arr: np.ndarray) -> np.ndarray:
         """Canonical V dof order -> internal order (padded parity-grid,
