@@ -374,3 +374,68 @@ def test_halo_ell_kernel_cylinder_matches_single_device(rotational):
         a, b = ref._u[i].x.array, sol._u[i].x.array
         assert np.abs(a - b).max() < 1e-9, (i, np.abs(a - b).max())
     assert np.abs(ref._p.x.array - sol._p.x.array).max() < 1e-8
+
+
+@pytest.mark.parametrize("mode", ["slab", "graph"])
+def test_split_phase_api_under_sharding(mode):
+    """VERDICT r3 #10: the split-phase API (assemble_first /
+    velocity_tentative_* / pressure_* / velocity_update) works under
+    device_mesh — each phase runs in its own shard_map; the sharded
+    split-phase step == the single-device fused step to 1e-9."""
+    from oasisx_tpu import DirichletBC, FractionalStep_AB_CN, LocatorMethod
+    from oasisx_tpu.meshes import create_rectangle, meshtags
+
+    dmesh = _mesh(8)
+    nu, dt = 0.01, 0.01
+
+    def ux(x):
+        return -np.cos(np.pi * x[0]) * np.sin(np.pi * x[1])
+
+    def uy(x):
+        return np.cos(np.pi * x[1]) * np.sin(np.pi * x[0])
+
+    def build(device_mesh=None):
+        mesh = create_rectangle((-1, -1), (1, 1), (8, 8))
+        facets = mesh.exterior_facet_indices()
+        tags = meshtags(mesh, 1, facets, np.full_like(facets, 3))
+        s = FractionalStep_AB_CN(
+            mesh,
+            ("Lagrange", 2),
+            ("Lagrange", 1),
+            bcs_u=[[DirichletBC(ux, LocatorMethod.TOPOLOGICAL, (tags, 3))],
+                   [DirichletBC(uy, LocatorMethod.TOPOLOGICAL, (tags, 3))]],
+            bcs_p=[],
+            solver_options={
+                "tentative": {"ksp_rtol": 1e-13},
+                "pressure": {"ksp_rtol": 1e-13},
+                "scalar": {"ksp_rtol": 1e-13},
+            },
+            options={"structured": mode == "slab"},
+            device_mesh=device_mesh,
+        )
+        for f, g in ((s._u1[0], ux), (s._u1[1], uy), (s._u2[0], ux), (s._u2[1], uy)):
+            f.interpolate(g)
+        return s
+
+    s1 = build()
+    s2 = build(dmesh)
+    if mode == "slab":
+        assert s2._slab is not None
+    else:
+        assert s2._hx_v is not None
+
+    s1.solve(dt, nu, max_iter=1)
+
+    # split-phase replication of one step with max_iter=1
+    s2._ps.x.array[:] = s2._p.x.array
+    s2.assemble_first(dt, nu)
+    s2.velocity_tentative_assemble()
+    s2.velocity_tentative_solve()
+    s2.pressure_assemble(dt)
+    s2.pressure_solve(nu)
+    s2.velocity_update(dt)
+
+    for i in range(2):
+        a, b = s1._u[i].x.array, s2._u[i].x.array
+        assert np.abs(a - b).max() < 1e-9, (mode, i, np.abs(a - b).max())
+    assert np.abs(s1._ps.x.array - s2._ps.x.array).max() < 1e-8
