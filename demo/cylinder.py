@@ -20,8 +20,6 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-import jax.numpy as jnp
-
 from oasisx_tpu import DirichletBC, FractionalStep_AB_CN, LocatorMethod, PressureBC
 from oasisx_tpu.assembly.facets import build_facet_context, surface_traction
 from oasisx_tpu.meshes import locate_entities_boundary, meshtags
@@ -35,13 +33,35 @@ L, H, D = 2.2, 0.41, 0.1
 CENTER = (0.2, 0.2)
 
 
+def strouhal_from_lift(ts, cls):
+    """St from linearly-interpolated upward zero crossings of the lift
+    signal (sub-sample period resolution), with an FFT cross-check."""
+    c = np.asarray(cls) - np.mean(cls)
+    s = np.sign(c)
+    idx = np.where((s[:-1] < 0) & (s[1:] > 0))[0]
+    if len(idx) < 3:
+        return None, None
+    tc = ts[idx] + (ts[idx + 1] - ts[idx]) * (-c[idx]) / (c[idx + 1] - c[idx])
+    period = float(np.mean(np.diff(tc)))
+    # FFT peak (rectangular window; fine for >3 periods)
+    dt_s = float(ts[1] - ts[0])
+    freqs = np.fft.rfftfreq(len(c), dt_s)
+    amp = np.abs(np.fft.rfft(c))
+    f_fft = float(freqs[np.argmax(amp[1:]) + 1])
+    return 1.0 / period, f_fft
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(formatter_class=argparse.ArgumentDefaultsHelpFormatter)
     parser.add_argument("--res", type=int, default=40)
     parser.add_argument("-dt", type=float, default=2e-3)
     parser.add_argument("-T", type=float, default=0.5)
+    parser.add_argument("--T0", type=float, default=0.0,
+                        help="transient cutoff: stats use t > T0 only")
     parser.add_argument("--Um", type=float, default=0.3)
     parser.add_argument("-nu", type=float, default=1e-3)
+    parser.add_argument("--chunk", type=int, default=200,
+                        help="steps per on-device run() window")
     args = parser.parse_args(argv)
 
     mesh = create_cylinder_channel(args.res)
@@ -101,27 +121,46 @@ def main(argv=None):
     Ubar = 2.0 * Um / 3.0
     scale = 2.0 / (Ubar**2 * D)
 
-    nsteps = int(round(args.T / args.dt))
-    lift_series = []
-    for step in range(1, nsteps + 1):
-        solver.solve(args.dt, args.nu, max_iter=1)
-        if step % 10 == 0 or step == nsteps:
-            u = jnp.asarray(np.stack([f.x.array for f in solver._u]), solver._dtype)
-            p = jnp.asarray(solver._p.x.array, solver._dtype)
-            # force on the body = - (force on the fluid through the surface)
-            F = -np.asarray(surface_traction(solver._ctx, fctx, u, p, args.nu))
-            cd, cl = scale * F[0], scale * F[1]
-            lift_series.append((step * args.dt, cd, cl))
-            if step % 50 == 0 or step == nsteps:
-                logger.info("t=%.3f Cd=%.4f Cl=%.5f", step * args.dt, cd, cl)
+    # per-step Cd/Cl traced into the on-device scan (zero sampling cost):
+    # force on the body = - (force on the fluid through the surface)
+    nu_ = args.nu
 
-    ts, cds, cls = map(np.asarray, zip(*lift_series))
+    def traction_cb(state, t):
+        return -surface_traction(solver._ctx, fctx, state["u"], state["p"], nu_)
+
+    nsteps = int(round(args.T / args.dt))
+    chunk = max(1, args.chunk)
+    cds, cls = [], []
+    done = 0
+    while done < nsteps:
+        n = min(chunk, nsteps - done)
+        stats = solver.run(n, args.dt, args.nu, max_iter=1,
+                           step_callback=traction_cb,
+                           t0=done * args.dt)
+        F = np.asarray(stats["callback"])  # (n, 2)
+        cds.append(scale * F[:, 0])
+        cls.append(scale * F[:, 1])
+        done += n
+        logger.info(
+            "t=%.3f Cd=%.4f Cl=%.5f (u_it %.1f p_it %.1f)",
+            done * args.dt, cds[-1][-1], cls[-1][-1],
+            float(np.mean(stats["u_iters"])), float(np.mean(stats["p_iters"])),
+        )
+    cds = np.concatenate(cds)
+    cls = np.concatenate(cls)
+    ts = args.dt * np.arange(1, nsteps + 1)
     out = {"t_end": float(ts[-1]), "Cd": float(cds[-1]), "Cl": float(cls[-1])}
-    # Strouhal from lift zero crossings (unsteady case)
-    sign_changes = np.where(np.diff(np.sign(cls - cls.mean())) != 0)[0]
-    if len(sign_changes) >= 4:
-        period = 2 * np.mean(np.diff(ts[sign_changes]))
-        out["Strouhal"] = float(D / (Ubar * period))
+    # post-transient stats (DFG 2D-2: report Cd_max, Cl_max, St over the
+    # periodic regime; literature St ~ 0.295-0.305, Cd_max ~ 3.22-3.24)
+    sel = ts > args.T0
+    if sel.any():
+        out["Cd_max"] = float(cds[sel].max())
+        out["Cl_max"] = float(cls[sel].max())
+        out["Cl_amp"] = float((cls[sel].max() - cls[sel].min()) / 2)
+        f_zc, f_fft = strouhal_from_lift(ts[sel], cls[sel])
+        if f_zc is not None:
+            out["Strouhal"] = float(f_zc * D / Ubar)
+            out["Strouhal_fft"] = float(f_fft * D / Ubar)
     print(json.dumps(out))
     return out
 
