@@ -257,6 +257,42 @@ def _read_gmsh4(path: Path):
     raise ValueError(f"no triangles or tetrahedra found in {path}")
 
 
+def write_gmsh22(path: str | os.PathLike, mesh: Mesh, tags=None) -> None:
+    """Write a Gmsh ASCII v2.2 file: nodes, highest-dim elements, and —
+    when ``tags`` (a facet MeshTags) is given — tagged boundary elements
+    with their physical group as the first element tag.  Round-trips
+    through :func:`import_mesh_with_tags`; the export half of the
+    reference's gmsh pipeline (SURVEY 2a.6: dolfinx.io.gmshio), used to
+    produce patient-style tagged meshes for the vessel demo."""
+    cell_etype = {"triangle": 2, "tetrahedron": 4}[mesh.cell_type]
+    facet_etype = {"triangle": 1, "tetrahedron": 2}[mesh.cell_type]
+    pts3 = np.zeros((mesh.num_vertices, 3))
+    pts3[:, : mesh.gdim] = mesh.x
+    lines = ["$MeshFormat", "2.2 0 8", "$EndMeshFormat"]
+    lines.append("$Nodes")
+    lines.append(str(mesh.num_vertices))
+    for i, p in enumerate(pts3):
+        lines.append(f"{i + 1} {p[0]:.16g} {p[1]:.16g} {p[2]:.16g}")
+    lines.append("$EndNodes")
+    fac = []
+    if tags is not None:
+        fverts = mesh.topology.facets[np.asarray(tags.indices)]
+        fac = list(zip(fverts.tolist(), np.asarray(tags.values).tolist()))
+    lines.append("$Elements")
+    lines.append(str(mesh.num_cells + len(fac)))
+    eid = 1
+    for verts, phys in fac:
+        vs = " ".join(str(v + 1) for v in verts)
+        lines.append(f"{eid} {facet_etype} 2 {phys} {phys} {vs}")
+        eid += 1
+    for c in mesh.cells:
+        vs = " ".join(str(v + 1) for v in c)
+        lines.append(f"{eid} {cell_etype} 2 0 0 {vs}")
+        eid += 1
+    lines.append("$EndElements")
+    Path(path).write_text("\n".join(lines) + "\n")
+
+
 def write_vtu(path: str | os.PathLike, mesh: Mesh, point_data: dict | None = None) -> None:
     """Write a VTU (XML unstructured grid, ASCII) file with vertex data.
 

@@ -274,3 +274,43 @@ def test_vessel_demo_with_tagged_msh(tmp_path):
     vd = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(vd)
     vd.main(["--mesh-path", str(p), "-dt", "0.02", "-T", "0.06"])
+
+
+def test_gmsh22_writer_roundtrip(tmp_path):
+    """write_gmsh22 -> import_mesh_with_tags round-trips coordinates,
+    connectivity, and tagged facets exactly (the export half of the gmsh
+    pipeline; the patient-vessel demo mesh is produced this way —
+    scripts/make_patient_vessel.py)."""
+    import numpy as np
+
+    from oasisx_tpu.io import import_mesh_with_tags, write_gmsh22
+    from oasisx_tpu.meshes import create_box, locate_entities_boundary, meshtags
+
+    mesh = create_box((0.0, -1.0, -1.0), (4.0, 1.0, 1.0), (4, 3, 3))
+    x = mesh.x.copy()
+    x[:, 1] += 0.2 * np.sin(x[:, 0])  # deform: unstructured import path
+    mesh.x[:] = x
+    mesh.structured = None
+    dim = mesh.dim - 1
+    inlet = locate_entities_boundary(mesh, dim, lambda p: np.isclose(p[0], 0.0))
+    ext = mesh.exterior_facet_indices()
+    wall = np.setdiff1d(ext, inlet)
+    tags = meshtags(
+        mesh, dim,
+        np.concatenate([inlet, wall]),
+        np.concatenate([np.full_like(inlet, 1), np.full_like(wall, 2)]).astype(np.int32),
+    )
+    path = tmp_path / "rt.msh"
+    write_gmsh22(path, mesh, tags)
+    m2, t2 = import_mesh_with_tags(path)
+    assert np.abs(mesh.x - m2.x).max() < 1e-12
+    assert np.array_equal(
+        np.sort(np.sort(mesh.cells, axis=1), axis=0),
+        np.sort(np.sort(m2.cells, axis=1), axis=0),
+    )
+
+    def key(m, t):
+        fv = np.sort(m.topology.facets[np.asarray(t.indices)], axis=1)
+        return {tuple(r): int(v) for r, v in zip(fv.tolist(), np.asarray(t.values).tolist())}
+
+    assert key(mesh, tags) == key(m2, t2)
