@@ -564,6 +564,8 @@ class FractionalStep_AB_CN:
         self._pallas_mass = None
         self._pallas_cg_step = None
         self._pallas_bicgstab = None
+        self._pallas_bicgstab_hbm = None
+        self._hbm_matvec = None
         self._pf_div = self._pf_grad_B = self._pf_grad_G = self._pf_cg_mass = None
         self._pf_matvec_win = self._pf_mass_mv = None
         self._slab_kernels = None
@@ -590,10 +592,16 @@ class FractionalStep_AB_CN:
             self._cu is None
             or self._have_pbc
             or self._dtype != jnp.float32
-            or platform in ("cpu",)
             or not opts.get("pallas", True)
         ):
             return
+        # CPU: interpret mode is opt-in (options={"pallas": "interpret"},
+        # same convention as the slab path) — slow, used by the wiring tests
+        interp = False
+        if platform in ("cpu",):
+            if opts.get("pallas") != "interpret":
+                return
+            interp = True
         nv = self._q_nullvec
         if nv is None or not bool(np.asarray(nv).all()):
             return  # padded pressure layout: kernel demean would be wrong
@@ -631,7 +639,7 @@ class FractionalStep_AB_CN:
                 from .la import estimate_lmax as _est
                 from .la import validated_cheb_bounds as _vcb
 
-                mv = po.make_matvec(self._ctx.sq, Ap_np)
+                mv = po.make_matvec(self._ctx.sq, Ap_np, interpret=interp)
                 invd_j = jnp.asarray(invd, jnp.float32)
                 lmin, lmax = _vcb(mv, invd_j, _est(mv, invd_j), deg)
             self._pallas_p = po.make_pressure_cg(
@@ -644,6 +652,7 @@ class FractionalStep_AB_CN:
                 lmin=lmin,
                 lmax=lmax,
                 mg=mg_data,
+                interpret=interp,
             )
             self._pallas_p_mg = mg_data is not None
             if mg_data is not None:
@@ -693,8 +702,8 @@ class FractionalStep_AB_CN:
             # scoped limit (minor (37,37) dims pad ~3.5x), so components loop
             # over per-vector kernels while the W einsum stays batched (the
             # 136 MB weight stream is read once per matvec)
-            gv1 = po.make_gather_chunked(sm_v, batch=1)
-            sv1 = po.make_scatter_chunked(sm_v, batch=1)
+            gv1 = po.make_gather_chunked(sm_v, batch=1, interpret=interp)
+            sv1 = po.make_scatter_chunked(sm_v, batch=1, interpret=interp)
             M_c = self._cu.M_c
             HI = jax.lax.Precision.HIGHEST
 
@@ -732,10 +741,10 @@ class FractionalStep_AB_CN:
             self._pallas_cg_step = None
             if 9.0 * grid_bytes <= _VMEM_BUDGET:
                 self._pallas_cg_step = po.make_cg_step(
-                    sm_v, np.asarray(self._cu.M_c, np.float64)
+                    sm_v, np.asarray(self._cu.M_c, np.float64), interpret=interp
                 )
             self._pallas_mass1 = po.make_matvec(
-                sm_v, np.asarray(self._cu.M_c, np.float64)
+                sm_v, np.asarray(self._cu.M_c, np.float64), interpret=interp
             )
             md = np.asarray(self._M_diag)
             self._pallas_m_invd = jnp.asarray(
@@ -749,46 +758,79 @@ class FractionalStep_AB_CN:
             # solves (round 3: the XLA iteration body cost ~316 dispatched
             # ops on the relay backend — ~60% of all per-step ops)
             self._pallas_bicgstab = None
+            self._pallas_bicgstab_hbm = None
+            self._hbm_matvec = None
+            hbm_force = bool(opts.get("pallas_bicgstab_hbm", False))
             if (
                 self._solver_u.method == "bcgs"
                 and opts.get("pallas_bicgstab", True)
+                and not hbm_force
                 and 8.5 * vstate_bytes + wbuf_bytes <= _VMEM_BUDGET
                 and 3.3 * vstate_bytes + wbuf_bytes <= _VMEM_BUDGET
             ):
                 # iteration state (x, r, p, rhat, zmask, v, t, acc + invd)
                 # lives wholly in VMEM; the second bound is for the companion
                 # matvec_win used to form r0 and the rhs
-                self._pallas_bicgstab = po.make_bicgstab_iter(sm_v, d)
+                self._pallas_bicgstab = po.make_bicgstab_iter(sm_v, d, interpret=interp)
                 self._pf_zmask = po.to_planeflat(
                     jnp.where(self._bc_masks, 0.0, 1.0).astype(self._dtype), sm_v
                 )
+            elif self._solver_u.method == "bcgs" and opts.get(
+                "pallas_bicgstab", True
+            ):
+                # HBM-state 3-op-per-iteration BiCGStab for grids past the
+                # whole-state VMEM budget (VERDICT r3 #3).  resident=True
+                # (one state array + 3 channel buffers fits): the matvec
+                # source is staged once into VMEM per sweep, ~6x less non-W
+                # HBM traffic; past even that, the fully-streaming variant
+                # holds only per-channel buffers and works at any size.
+                cbuf_bytes = 4 * d * po._hbm_row_pad(sm_v) * po._hbm_lane_pad(sm_v)
+                res = (
+                    vstate_bytes + 3 * cbuf_bytes + wbuf_bytes <= _VMEM_BUDGET
+                    and opts.get("pallas_bicgstab_hbm") != "streaming"
+                )
+                if res or 4 * cbuf_bytes + wbuf_bytes <= _VMEM_BUDGET:
+                    self._pallas_bicgstab_hbm = po.make_bicgstab_hbm_kernels(
+                        sm_v, d, dtype=self._dtype, interpret=interp,
+                        resident=res,
+                    )
+                    self._hbm_matvec = po.make_matvec_hbm_chan(
+                        sm_v, d, interpret=interp, resident=res
+                    )
+                    zm = jnp.where(self._bc_masks, 0.0, 1.0).astype(self._dtype)
+                    self._hbm_zmask = po.to_hbm_state(zm, sm_v, d)
+                    self._hbm_ones = jnp.ones_like(self._hbm_zmask)
             # plane-flat baked-constant kernels: one-op divergence, mixed
             # gradients, and one-op-per-iteration batched mass CG
             sm_q = self._ctx.sq
             if 2.4 * vstate_bytes <= _VMEM_BUDGET:
                 self._pf_div = po.make_divergence_pf(
-                    sm_v, sm_q, np.asarray(self._cu.B_c, np.float64), d
+                    sm_v, sm_q, np.asarray(self._cu.B_c, np.float64), d,
+                    interpret=interp,
                 )
                 self._pf_grad_B = po.make_mixed_pf(
-                    sm_v, sm_q, np.asarray(self._cu.B_c, np.float64), d
+                    sm_v, sm_q, np.asarray(self._cu.B_c, np.float64), d,
+                    interpret=interp,
                 )
                 self._pf_grad_G = po.make_mixed_pf(
-                    sm_v, sm_q, np.asarray(self._cu.G_c, np.float64), d
+                    sm_v, sm_q, np.asarray(self._cu.G_c, np.float64), d,
+                    interpret=interp,
                 )
                 self._pf_mass_mv = po.make_matvec_pf(
-                    sm_v, np.asarray(self._cu.M_c, np.float64), d
+                    sm_v, np.asarray(self._cu.M_c, np.float64), d, interpret=interp
                 )
             if 4.6 * vstate_bytes <= _VMEM_BUDGET and self._pf_mass_mv is not None:
                 self._pf_cg_mass = po.make_cg_iter_pf(
-                    sm_v, np.asarray(self._cu.M_c, np.float64), d
+                    sm_v, np.asarray(self._cu.M_c, np.float64), d, interpret=interp
                 )
             if 3.3 * vstate_bytes + wbuf_bytes <= _VMEM_BUDGET:
-                self._pf_matvec_win = po.make_matvec_win(sm_v, d)
+                self._pf_matvec_win = po.make_matvec_win(sm_v, d, interpret=interp)
             logger.info(
                 "pallas velocity kernels enabled (state %.1f MB: bicgstab=%s "
-                "cg_mass=%s pf_ops=%s)",
+                "bicgstab_hbm=%s cg_mass=%s pf_ops=%s)",
                 vstate_bytes / 1e6,
                 self._pallas_bicgstab is not None,
+                self._pallas_bicgstab_hbm is not None,
                 self._pf_cg_mass is not None,
                 self._pf_mass_mv is not None,
             )
@@ -797,6 +839,8 @@ class FractionalStep_AB_CN:
             self._pallas_tent = None
             self._pallas_mass = None
             self._pallas_bicgstab = None
+            self._pallas_bicgstab_hbm = None
+            self._hbm_matvec = None
             self._pf_div = self._pf_grad_B = self._pf_grad_G = self._pf_cg_mass = None
             self._pf_matvec_win = self._pf_mass_mv = None
 
@@ -1415,6 +1459,22 @@ class FractionalStep_AB_CN:
                 )
                 b_first = po.from_planeflat(bf_pf, sm_v) + P["b0"]
                 return uab, ((1.0 / dt, 0.5 * nu), W, uq, W_win), b_first
+            if self._pallas_bicgstab_hbm is not None:
+                from .assembly import pallas_ops as po
+
+                # HBM-state solver: same windowed weights; b_first via the
+                # HBM matvec kernel (A_lhs u1) + the staged mass matvec —
+                # once per step, so the staged gather/scatter cost is
+                # amortized over the iteration kernels it enables
+                sm_v = self._ctx.sv
+                W_win = po.build_w_win(W, sm_v)
+                u1_h = po.to_hbm_state(u1, sm_v, d)
+                Au1 = po.from_hbm_state(
+                    self._hbm_matvec(W_win, u1_h, self._hbm_ones, self._hbm_ones),
+                    sm_v, d,
+                )
+                b_first = self._pallas_mass(u1) * (2.0 / dt) - Au1 + P["b0"]
+                return uab, ((1.0 / dt, 0.5 * nu), W, uq, W_win), b_first
             # b_first = A_rhs u1 = (2/dt) M u1 - A_lhs u1  (A_rhs + A_lhs = (2/dt) M)
             b_first = self._pallas_rhs(W, u1, 2.0 / dt) + P["b0"]
             return uab, ((1.0 / dt, 0.5 * nu), W, uq), b_first
@@ -1560,6 +1620,37 @@ class FractionalStep_AB_CN:
                 pf(invd), bnorm, rtol, int(s.maxiter), atol=s.atol,
             )
             x = po.from_planeflat(x_pf, sm_v)
+            diff = jnp.sum(jnp.sqrt(jnp.sum((x - u) ** 2, axis=-1)))
+            return x, diff, iters, conv
+        if self._pallas_bicgstab_hbm is not None and len(A_lhs) == 4:
+            # HBM-state path (VERDICT r3 #3): same semantics as the fused
+            # VMEM path above, but solver state lives in HBM channel-major
+            # layout and each iteration is THREE W-streamed kernels, so
+            # N=64-class grids keep one-op-per-iteration instead of staged
+            # matvecs + XLA glue
+            from .assembly import pallas_ops as po
+            from .la.krylov import _effective_rtol
+
+            sm_v = self._ctx.sv
+            d = self._mesh.dim
+            W_win = A_lhs[3]
+            masks = P["bc_masks"]
+            h = lambda a: po.to_hbm_state(a, sm_v, d)
+            rhs = jnp.where(masks, bc_vals, rhs1)
+            x0_h = h(jnp.where(masks, bc_vals, x0))
+            # r0 = zmask*(rhs - A x0): the kernel already applies zmask to y
+            Ax0_h = self._hbm_matvec(W_win, x0_h, self._hbm_ones, self._hbm_zmask)
+            r0_h = self._hbm_zmask * h(rhs) - Ax0_h
+            bnorm = jnp.sqrt(jnp.sum(rhs * rhs, axis=-1))
+            dfull = self._tentative_diag(P, A_lhs)
+            invd = jnp.where(dfull != 0, 1.0 / jnp.where(dfull != 0, dfull, 1.0), 1.0)
+            invd_h = h(jnp.broadcast_to(invd[None], rhs.shape))
+            rtol = _effective_rtol(s.rtol, np.dtype(self._dtype))
+            x_h, iters, rnorm, conv = po.bicgstab_hbm_from_r0(
+                self._pallas_bicgstab_hbm, W_win, r0_h, x0_h, self._hbm_zmask,
+                invd_h, bnorm, rtol, int(s.maxiter), atol=s.atol,
+            )
+            x = po.from_hbm_state(x_h, sm_v, d)
             diff = jnp.sum(jnp.sqrt(jnp.sum((x - u) ** 2, axis=-1)))
             return x, diff, iters, conv
         if self._pallas_tent is not None or self._slab is not None:

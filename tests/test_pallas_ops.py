@@ -381,3 +381,97 @@ def test_matvec_win_and_pf():
         sli = tuple(slice(bi[k], bi[k] + cells[k]) for k in range(3))
         refw[(slice(None), cho) + slo] += Wc[pair].reshape(cells) * xg[(slice(None), chi) + sli]
     assert np.allclose(got.reshape(refw.shape), refw, atol=1e-11)
+
+
+@pytest.mark.parametrize("resident", [False, True])
+def test_hbm_state_bicgstab_kernels(resident):
+    """3-op-per-iteration HBM-state batched BiCGStab (channel-major state,
+    channel-pair W sweep) vs la.bicgstab_batched on the same tentative
+    operator with Dirichlet rows and a warm start (interpret mode) —
+    VERDICT r3 #3: the large-N path where the whole solver state cannot
+    hold VMEM.  resident=True stages the sweep source in one whole-state
+    VMEM scratch (nch-linear HBM traffic) — must be bit-compatible with
+    the streaming variant's semantics."""
+    from oasisx_tpu.la import bicgstab_batched, jacobi_preconditioner
+
+    mesh, ctx, refs, ops, (sm_v, gf_v, _), _ = setup(3, 4, 2, 1)
+    rng = np.random.default_rng(17)
+    d = mesh.dim
+    nl = ops.M_c.shape[0]
+
+    g = lambda: _grid(rng.standard_normal(ctx.ndofs_v), gf_v, sm_v)
+    uab = jnp.asarray(np.stack([g() for _ in range(d)]))
+    a, bb = 5.0, 0.2
+    A0 = np.asarray(a * ops.M_c + bb * ops.K_c)
+    u27 = jnp.stack([cu.cube_gather(uab[i], sm_v) for i in range(d)]).reshape(d * nl, -1)
+    T = po.conv_weight_tensor(ops)
+    Wc = jnp.asarray(T, A0.dtype).T @ u27
+    W = (jnp.asarray(A0.reshape(-1, 1)) + 0.5 * Wc).reshape(nl, nl, -1)
+    uq = cu.conv_uq(ops, uab)
+
+    pshape = po._grid_shape(sm_v)
+    maskg = np.zeros(pshape, bool)
+    maskg[:, 0] = True
+    mask1 = jnp.asarray(maskg.reshape(-1))
+    masks = jnp.stack([mask1] * d)
+    bcvals = jnp.asarray(np.stack([g() for _ in range(d)])) * mask1
+
+    diag = a * cu.diag_cube(ops.M_c, sm_v) + bb * cu.diag_cube(ops.K_c, sm_v)
+    diag = diag + 0.5 * cu.conv_diag(ops, uq)
+    diag_bc = jnp.where(masks, 1.0, diag[None, :])
+
+    def matvec(x):
+        y = jnp.stack(
+            [cu.tentative_matvec_local(ops, jnp.asarray(A0), uq, x[i]) for i in range(d)]
+        )
+        return jnp.where(masks, x, y)
+
+    b_raw = jnp.asarray(np.stack([g() for _ in range(d)]))
+    rhs = jnp.where(masks, bcvals, b_raw)
+    u0 = jnp.asarray(np.stack([g() for _ in range(d)])) * 0.1
+    x0 = jnp.where(masks, bcvals, u0)
+
+    rtol = 1e-9
+    ref = bicgstab_batched(
+        matvec, rhs, x0=x0, M=jacobi_preconditioner(diag_bc), rtol=rtol, maxiter=60
+    )
+
+    # HBM-state path: channel-major padded layout end to end
+    W_win = po.build_w_win(W, sm_v)
+    h = lambda v: po.to_hbm_state(v, sm_v, d)
+    zmask = h(jnp.where(masks, 0.0, 1.0))
+    invd = h(jnp.where(diag != 0, 1.0 / jnp.where(diag != 0, diag, 1.0), 1.0)[None]
+             * jnp.ones((d, 1)))
+    ones = h(jnp.ones((d, mask1.shape[0])))
+
+    # init matvec through the HBM matvec kernel (r0 = zm*(rhs - A x0))
+    mv_h = po.make_matvec_hbm_chan(sm_v, d, interpret=True, resident=resident)
+    Ax0_h = mv_h(W_win, h(x0), ones, ones)
+    Ax0 = po.from_hbm_state(Ax0_h, sm_v, d)
+    ref_Ax0 = jnp.stack(
+        [cu.tentative_matvec_local(ops, jnp.asarray(A0), uq, x0[i]) for i in range(d)]
+    )
+    assert np.allclose(np.asarray(Ax0), np.asarray(ref_Ax0), atol=1e-4), (
+        np.abs(np.asarray(Ax0) - np.asarray(ref_Ax0)).max()
+    )
+    r0 = h(jnp.where(masks, 0.0, rhs - ref_Ax0))
+    bnorm = jnp.sqrt(jnp.sum(rhs * rhs, axis=-1))
+
+    kernels = po.make_bicgstab_hbm_kernels(
+        sm_v, d, interpret=True, dtype=r0.dtype, resident=resident
+    )
+    x_h, iters, rnorm, conv = po.bicgstab_hbm_from_r0(
+        kernels, W_win, r0, h(x0), zmask, invd, bnorm, rtol, maxiter=60
+    )
+    x = po.from_hbm_state(x_h, sm_v, d)
+
+    assert bool(np.asarray(conv).all()), (np.asarray(iters), np.asarray(rnorm))
+    scale = np.abs(np.asarray(ref.x)).max()
+    err = np.abs(np.asarray(x) - np.asarray(ref.x)).max() / scale
+    assert err < 1e-7, err
+    assert np.abs(np.asarray(iters) - np.asarray(ref.iters)).max() <= 2, (
+        np.asarray(iters), np.asarray(ref.iters))
+    res = np.asarray(rhs - matvec(x))
+    rn = np.sqrt((res**2).sum(axis=-1))
+    bn = np.asarray(bnorm)
+    assert (rn <= 3 * rtol * bn).all(), rn / bn
