@@ -323,6 +323,7 @@ class FractionalStep_AB_CN:
         self._preassemble()
         self._build_pallas(options)
         self._build_mg(solver_options)
+        self._build_amg(solver_options)
         self._build_cheb(solver_options)
         self._build_step()
 
@@ -353,6 +354,8 @@ class FractionalStep_AB_CN:
             )
         elif getattr(self, "_mg", None) is not None:
             pressure = "mg-pcg"
+        elif getattr(self, "_amg", None) is not None:
+            pressure = "amg-pcg"
         elif getattr(self, "_cheb", None) is not None:
             pressure = "chebyshev-jacobi-pcg"
         else:
@@ -363,7 +366,13 @@ class FractionalStep_AB_CN:
             "structured_fastpath": self._cu is not None,
             "pressure_pc": pressure,
             "pressure_mg_levels": (
-                self._mg.num_levels if getattr(self, "_mg", None) is not None else 0
+                self._mg.num_levels
+                if getattr(self, "_mg", None) is not None
+                else (
+                    self._amg.num_levels
+                    if getattr(self, "_amg", None) is not None
+                    else 0
+                )
             ),
             "pallas": {
                 "pressure_solve": g("_pallas_p"),
@@ -1019,6 +1028,111 @@ class FractionalStep_AB_CN:
         y = self._halo_kernels[kernel_name](vals, cols, x)
         return gr.halo_fold(y, tree, deltas, ctx.axis)
 
+    def _build_amg(self, solver_options: dict | None) -> None:
+        """Smoothed-aggregation AMG preconditioner (la/amg.py) for the
+        unstructured pressure Poisson — the configs the reference serves
+        with MUMPS / pc_type gamg|hypre
+        (/root/reference/src/oasisx/fracstep.py:553-605) and the rebuild
+        previously preconditioned with Chebyshev-Jacobi only (~80
+        iters/step on the DFG cylinder).  Structured grids keep geometric
+        MG / the whole-solve kernel; the replicated debug mode and slab
+        runs keep Chebyshev.
+
+        Under graph-halo sharding the V-cycle applies via coarse-grid
+        agglomeration: all_gather the owned blocks (the pressure vector is
+        small next to the velocity work), run the setup-time V-cycle
+        replicated on every shard, slice the local block back.  One
+        all_gather per CG iteration against the ~5x iteration-count cut."""
+        self._amg = None
+        self._amg_halo_M = None
+        if getattr(self, "_pallas_p", None) is not None or self._mg is not None:
+            return
+        halo = self._hx_q is not None
+        ctx = self._ctx_single if halo else self._ctx
+        if (
+            self._slab is not None
+            or (getattr(self, "_axis", None) is not None and not halo)
+            or getattr(ctx, "sq", None) is not None  # structured lattice
+            # layout: cd_q and the padded grid vectors use different
+            # numberings
+        ):
+            return
+        popts = (solver_options or {}).get("pressure") or {}
+        pc = str(popts.get("pc_type", "amg")).lower()
+        if pc not in ("amg", "gamg", "hypre", "ml", "mg"):
+            return
+        try:
+            from .la.amg import AlgebraicMG, coo_from_elems
+
+            n = ctx.ndofs_q
+            elems = (
+                np.asarray(jax.jit(eng.stiffness_q_elems)(ctx))
+                if halo
+                else np.asarray(self._Ap_elems)
+            )
+            rows, cols, vals = coo_from_elems(np.asarray(ctx.cd_q), elems, n)
+            if self._have_pbc:
+                # match bc_symmetric_matvec: identity rows/cols on the
+                # outlet-Dirichlet dofs (global numbering)
+                pmask = np.zeros(n, dtype=bool)
+                if halo:
+                    for bcp in self._bcs_p:
+                        pmask[bcp.dofs] = True
+                else:
+                    pmask = np.asarray(self._pbc_mask).astype(bool)
+                keep = ~(pmask[rows] | pmask[cols])
+                drows = np.flatnonzero(pmask).astype(np.int64)
+                rows = np.concatenate([rows[keep], drows])
+                cols = np.concatenate([cols[keep], drows])
+                vals = np.concatenate([vals[keep], np.ones(drows.size)])
+            nv = None
+            if not self._have_pbc:
+                nv = np.ones(n)
+                if not halo and self._q_nullvec is not None:
+                    nv = np.asarray(self._q_nullvec)
+            self._amg = AlgebraicMG(
+                rows, cols, vals, n, dtype=self._dtype,
+                theta=float(popts.get("amg_theta", 0.25)),
+                coarse_max=int(popts.get("amg_coarse_max", 400)),
+                nullvec=nv,
+            )
+            if halo:
+                self._amg_halo_M = self._make_amg_halo_M(n)
+            logger.info(
+                "pressure AMG enabled: %d levels, coarse n=%d%s",
+                self._amg.num_levels, self._amg.coarse_n,
+                " (halo-agglomerated apply)" if halo else "",
+            )
+        except Exception as e:  # pragma: no cover - fallback path
+            logger.warning("pressure AMG construction failed: %s", e)
+            self._amg = None
+            self._amg_halo_M = None
+
+    def _make_amg_halo_M(self, n: int):
+        """Shard_map-legal AMG apply for graph-halo runs: gather the global
+        residual from the owned blocks, replicated V-cycle, local slice
+        back (halo/pad slots zero — the owned-dof invariant)."""
+        hx = self._hx_q
+        axis = self._axis
+        ndev, nloc = hx.ndev, hx.nloc
+        perm_j = jnp.asarray(hx.perm)  # global dof -> stacked local slot
+        inv = np.full(ndev * nloc, n, np.int64)  # default: appended zero
+        inv[hx.perm] = np.arange(n)
+        inv_rows = jnp.asarray(inv.reshape(ndev, nloc))
+        own_rows = jnp.asarray(
+            hx.ownmask.reshape(ndev, nloc), dtype=self._dtype
+        )
+        amg = self._amg
+
+        def M(r_loc):
+            stacked = jax.lax.all_gather(r_loc, axis, tiled=True)
+            z = amg.vcycle(stacked[perm_j])
+            zext = jnp.concatenate([z, jnp.zeros(1, z.dtype)])
+            s = jax.lax.axis_index(axis)
+            return zext[inv_rows[s]] * own_rows[s]
+
+        return M
+
     def _build_cheb(self, solver_options: dict | None) -> None:
         """Chebyshev-Jacobi pressure preconditioner for the cases MG and
         the Pallas whole-solve kernel cannot serve: unstructured meshes,
@@ -1031,7 +1145,11 @@ class FractionalStep_AB_CN:
         preconditioner composes with the slab/halo matvec, whose ppermute
         collectives are legal inside the shard_mapped step."""
         self._cheb = None
-        if self._mg is not None or getattr(self, "_pallas_p", None) is not None:
+        if (
+            self._mg is not None
+            or getattr(self, "_amg", None) is not None
+            or getattr(self, "_pallas_p", None) is not None
+        ):
             return
         popts = (solver_options or {}).get("pressure") or {}
         pc = str(popts.get("pc_type", "cheb")).lower()
@@ -1818,6 +1936,12 @@ class FractionalStep_AB_CN:
             matvec = lambda x: eng.matvec_q(ctx, P["Ap"], x)
         if self._mg is not None and not self._have_pbc:
             M = self._mg.vcycle
+        elif getattr(self, "_amg", None) is not None:
+            M = (
+                self._amg_halo_M
+                if getattr(self, "_amg_halo_M", None) is not None
+                else self._amg.vcycle
+            )
         elif self._cheb is not None and matvec is not None:
             from .la import chebyshev_preconditioner
 

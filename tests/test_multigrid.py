@@ -132,7 +132,10 @@ def test_chebyshev_pressure_unstructured_and_outlet():
             "scalar": {"ksp_rtol": 1e-10},
         },
     )
-    assert s_out._cheb is not None
+    # round 4: AMG supersedes Chebyshev as the default on outlet-Dirichlet
+    # pressure systems (tests/test_amg.py covers it); explicit pc_type
+    # "cheb" still selects Chebyshev
+    assert s_out._amg is not None and s_out._cheb is None
     for i in range(2):
         s_out._u1[i].interpolate(lambda x: 0.1 * x[1] * (1 - x[1]))
         s_out._u2[i].interpolate(lambda x: 0.1 * x[1] * (1 - x[1]))
