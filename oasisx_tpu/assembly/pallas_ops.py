@@ -1243,7 +1243,7 @@ def hbm_state_shape(sm: StructuredMap, d: int):
     return (nch, d, _hbm_row_pad(sm), _hbm_lane_pad(sm))
 
 
-def to_hbm_state(x: jax.Array, sm: StructuredMap, d: int) -> jax.Array:
+def to_hbm_state(x: jax.Array, sm: StructuredMap) -> jax.Array:
     """(d, npad) flat -> channel-major padded (nch, d, nrowp, Lp)."""
     nch, nrow, L = pf_shape(sm)
     X = jnp.swapaxes(to_planeflat(x, sm), 0, 1)  # (nch, d, nrow, L)
@@ -1252,7 +1252,7 @@ def to_hbm_state(x: jax.Array, sm: StructuredMap, d: int) -> jax.Array:
     )
 
 
-def from_hbm_state(X: jax.Array, sm: StructuredMap, d: int) -> jax.Array:
+def from_hbm_state(X: jax.Array, sm: StructuredMap) -> jax.Array:
     nch, nrow, L = pf_shape(sm)
     return from_planeflat(jnp.swapaxes(X[:, :, :nrow, :L], 0, 1), sm)
 
@@ -1333,6 +1333,30 @@ def _sync_store(buf, any_ref, idx, sem):
     cp.wait()
 
 
+def _stage_premul_src(resident, nch, src_any, pm_any, xbuf, zbuf, sem):
+    """Build the sweep's ``src_for`` for a premultiplied source
+    (``pm * src`` — the matvec and K1 staging).  resident: stage the whole
+    state into the (nch,)+cbuf scratch up front (nch-linear HBM traffic);
+    streaming: DMA one channel buffer per visit."""
+    if resident:
+        for ch in range(nch):
+            _sync_load(src_any, ch, xbuf.at[ch], sem)
+            _sync_load(pm_any, ch, zbuf, sem)
+            xbuf[ch] = xbuf[ch] * zbuf[:]
+
+        def src_for(chi):
+            return lambda sl: xbuf[(chi,) + sl]
+    else:
+
+        def src_for(chi):
+            _sync_load(src_any, chi, xbuf, sem)
+            _sync_load(pm_any, chi, zbuf, sem)
+            xbuf[:] = xbuf[:] * zbuf[:]
+            return lambda sl: xbuf[sl]
+
+    return src_for
+
+
 def make_matvec_hbm_chan(
     sm: StructuredMap, d: int, interpret: bool = False, resident: bool = False
 ):
@@ -1354,23 +1378,8 @@ def make_matvec_hbm_chan(
     c0p, WLp = _c0_padded(sm), _wl_padded(sm)
 
     def kernel(w_hbm, x_any, pm_any, zm_any, y_any, *scr):
-        if resident:
-            xres, ybuf, zbuf, wbuf, xsem, osem, wsem = scr
-            for ch in range(nch):
-                _sync_load(x_any, ch, xres.at[ch], xsem)
-                _sync_load(pm_any, ch, zbuf, xsem)
-                xres[ch] = xres[ch] * zbuf[:]
-
-            def src_for(chi):
-                return lambda sl: xres[(chi,) + sl]
-        else:
-            xbuf, ybuf, zbuf, wbuf, xsem, osem, wsem = scr
-
-            def src_for(chi):
-                _sync_load(x_any, chi, xbuf, xsem)
-                _sync_load(pm_any, chi, zbuf, xsem)
-                xbuf[:] = xbuf[:] * zbuf[:]
-                return lambda sl: xbuf[sl]
+        xbuf, ybuf, zbuf, wbuf, xsem, osem, wsem = scr
+        src_for = _stage_premul_src(resident, nch, x_any, pm_any, xbuf, zbuf, xsem)
 
         def finish_out(cho, yb):
             _sync_load(zm_any, cho, zbuf, xsem)
@@ -1421,8 +1430,8 @@ def make_bicgstab_hbm_kernels(
 
     Returns (k1, k2, k3):
       k1(W, p, invd, zm, rhat)                    -> (v, rv (d,))
-      k2(W, r, v, invd, zm, rho, rv, rn, tol)     -> (t, s, tt (d,), ts (d,))
-      k3(x, r, p, v, t, s, rhat, invd,
+      k2(W, r, v, invd, zm, rho, rv)              -> (t, s, tt (d,), ts (d,))
+      k3(x, p, v, t, s, rhat, invd,
          rho, rv, tt, ts, rn, tol, iters)         -> (x', r', p', rho', rn', it')
     """
     nch, nrow, L = pf_shape(sm)
@@ -1449,21 +1458,9 @@ def make_bicgstab_hbm_kernels(
         for b in range(d):
             rv_ref[b] = 0.0
 
-        if resident:
-            for ch in range(nch):
-                _sync_load(p_any, ch, xbuf.at[ch], xsem)
-                _sync_load(invd_any, ch, zbuf, xsem)
-                xbuf[ch] = xbuf[ch] * zbuf[:]
-
-            def src_for(chi):
-                return lambda sl: xbuf[(chi,) + sl]
-        else:
-
-            def src_for(chi):
-                _sync_load(p_any, chi, xbuf, xsem)
-                _sync_load(invd_any, chi, zbuf, xsem)
-                xbuf[:] = xbuf[:] * zbuf[:]
-                return lambda sl: xbuf[sl]
+        src_for = _stage_premul_src(
+            resident, nch, p_any, invd_any, xbuf, zbuf, xsem
+        )
 
         def finish_out(cho, yb):
             _sync_load(zm_any, cho, zbuf, xsem)
@@ -1492,7 +1489,7 @@ def make_bicgstab_hbm_kernels(
 
     # --- K2: s = r - alpha v; t = zm * A (invd * s); tt, ts ----------------
     def k2_kernel(w_hbm, r_any, v_any, invd_any, zm_any,
-                  rho_ref, rv_ref, rn_ref, tol_ref,
+                  rho_ref, rv_ref,
                   t_any, s_any, tt_ref, ts_ref,
                   xbuf, ybuf, zbuf, sbuf, wbuf, xsem, osem, wsem):
         alphas = []
@@ -1545,7 +1542,7 @@ def make_bicgstab_hbm_kernels(
         _hbm_matvec_sweep(sm, d, w_hbm, wbuf, wsem, ybuf, src_for, finish_out)
 
     @jax.jit
-    def k2(W_win, r, v, invd, zm, rho, rv, rn, tol):
+    def k2(W_win, r, v, invd, zm, rho, rv):
         return pl.pallas_call(
             k2_kernel,
             out_shape=(
@@ -1554,15 +1551,15 @@ def make_bicgstab_hbm_kernels(
                 jax.ShapeDtypeStruct((d,), f32),
                 jax.ShapeDtypeStruct((d,), f32),
             ),
-            in_specs=[ANY] * 5 + [SMEM] * 4,
+            in_specs=[ANY] * 5 + [SMEM] * 2,
             out_specs=(ANY, ANY, SMEM, SMEM),
             scratch_shapes=scratch(4),
             compiler_params=_BIG_VMEM,
             interpret=interpret,
-        )(W_win, r, v, invd, zm, rho, rv, rn, tol)
+        )(W_win, r, v, invd, zm, rho, rv)
 
     # --- K3: x, r, p updates + rho', rnorm', iters' (two channel sweeps) ---
-    def k3_kernel(x_any, r_any, p_any, v_any, t_any, s_any, rhat_any, invd_any,
+    def k3_kernel(x_any, p_any, v_any, t_any, s_any, rhat_any, invd_any,
                   rho_ref, rv_ref, tt_ref, ts_ref, rn_ref, tol_ref, it_ref,
                   xo_any, ro_any, po_any, rhoo_ref, rno_ref, ito_ref,
                   abuf, bbuf, cxbuf, dbuf, xsem, osem):
@@ -1629,7 +1626,7 @@ def make_bicgstab_hbm_kernels(
             _sync_store(bbuf, po_any, ch, osem)
 
     @jax.jit
-    def k3(x, r, p, v, t, s, rhat, invd, rho, rv, tt, ts, rn, tol, iters):
+    def k3(x, p, v, t, s, rhat, invd, rho, rv, tt, ts, rn, tol, iters):
         return pl.pallas_call(
             k3_kernel,
             out_shape=(
@@ -1640,7 +1637,7 @@ def make_bicgstab_hbm_kernels(
                 jax.ShapeDtypeStruct((d,), f32),
                 jax.ShapeDtypeStruct((d,), jnp.int32),
             ),
-            in_specs=[ANY] * 8 + [SMEM] * 7,
+            in_specs=[ANY] * 7 + [SMEM] * 7,
             out_specs=(ANY, ANY, ANY, SMEM, SMEM, SMEM),
             scratch_shapes=[
                 pltpu.VMEM(cbuf, f32),
@@ -1652,7 +1649,7 @@ def make_bicgstab_hbm_kernels(
             ],
             compiler_params=_BIG_VMEM,
             interpret=interpret,
-        )(x, r, p, v, t, s, rhat, invd, rho, rv, tt, ts, rn, tol, iters)
+        )(x, p, v, t, s, rhat, invd, rho, rv, tt, ts, rn, tol, iters)
 
     return k1, k2, k3
 
@@ -1678,9 +1675,9 @@ def bicgstab_hbm_from_r0(
     def body(c):
         x, r, p, rho, rn, iters, k = c
         v, rv = k1(W_win, p, invd_h, zm_h, rhat)
-        t, s, tt, ts = k2(W_win, r, v, invd_h, zm_h, rho, rv, rn, tol)
+        t, s, tt, ts = k2(W_win, r, v, invd_h, zm_h, rho, rv)
         x, r, p, rho, rn, iters = k3(
-            x, r, p, v, t, s, rhat, invd_h, rho, rv, tt, ts, rn, tol, iters
+            x, p, v, t, s, rhat, invd_h, rho, rv, tt, ts, rn, tol, iters
         )
         return (x, r, p, rho, rn, iters, k + 1)
 

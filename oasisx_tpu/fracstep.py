@@ -769,7 +769,12 @@ class FractionalStep_AB_CN:
             self._pallas_bicgstab = None
             self._pallas_bicgstab_hbm = None
             self._hbm_matvec = None
-            hbm_force = bool(opts.get("pallas_bicgstab_hbm", False))
+            # pallas_bicgstab_hbm: "auto" (default; engage when the
+            # whole-state kernels don't fit), True / "streaming" (force,
+            # incl. which variant — used by the wiring tests), False
+            # (never use the HBM kernels)
+            hbm_opt = opts.get("pallas_bicgstab_hbm", "auto")
+            hbm_force = hbm_opt in (True, "streaming")
             if (
                 self._solver_u.method == "bcgs"
                 and opts.get("pallas_bicgstab", True)
@@ -784,8 +789,10 @@ class FractionalStep_AB_CN:
                 self._pf_zmask = po.to_planeflat(
                     jnp.where(self._bc_masks, 0.0, 1.0).astype(self._dtype), sm_v
                 )
-            elif self._solver_u.method == "bcgs" and opts.get(
-                "pallas_bicgstab", True
+            elif (
+                self._solver_u.method == "bcgs"
+                and opts.get("pallas_bicgstab", True)
+                and hbm_opt is not False
             ):
                 # HBM-state 3-op-per-iteration BiCGStab for grids past the
                 # whole-state VMEM budget (VERDICT r3 #3).  resident=True
@@ -796,7 +803,7 @@ class FractionalStep_AB_CN:
                 cbuf_bytes = 4 * d * po._hbm_row_pad(sm_v) * po._hbm_lane_pad(sm_v)
                 res = (
                     vstate_bytes + 3 * cbuf_bytes + wbuf_bytes <= _VMEM_BUDGET
-                    and opts.get("pallas_bicgstab_hbm") != "streaming"
+                    and hbm_opt != "streaming"
                 )
                 if res or 4 * cbuf_bytes + wbuf_bytes <= _VMEM_BUDGET:
                     self._pallas_bicgstab_hbm = po.make_bicgstab_hbm_kernels(
@@ -807,7 +814,7 @@ class FractionalStep_AB_CN:
                         sm_v, d, interpret=interp, resident=res
                     )
                     zm = jnp.where(self._bc_masks, 0.0, 1.0).astype(self._dtype)
-                    self._hbm_zmask = po.to_hbm_state(zm, sm_v, d)
+                    self._hbm_zmask = po.to_hbm_state(zm, sm_v)
                     self._hbm_ones = jnp.ones_like(self._hbm_zmask)
             # plane-flat baked-constant kernels: one-op divergence, mixed
             # gradients, and one-op-per-iteration batched mass CG
@@ -1580,18 +1587,13 @@ class FractionalStep_AB_CN:
             if self._pallas_bicgstab_hbm is not None:
                 from .assembly import pallas_ops as po
 
-                # HBM-state solver: same windowed weights; b_first via the
-                # HBM matvec kernel (A_lhs u1) + the staged mass matvec —
-                # once per step, so the staged gather/scatter cost is
-                # amortized over the iteration kernels it enables
+                # HBM-state solver: same windowed weights; b_first through
+                # the one-pass rhs matvec ((2/dt) M u1 - A_lhs u1 sharing a
+                # single gather/scatter and the same W read) — once per
+                # step, amortized over the iteration kernels it enables
                 sm_v = self._ctx.sv
                 W_win = po.build_w_win(W, sm_v)
-                u1_h = po.to_hbm_state(u1, sm_v, d)
-                Au1 = po.from_hbm_state(
-                    self._hbm_matvec(W_win, u1_h, self._hbm_ones, self._hbm_ones),
-                    sm_v, d,
-                )
-                b_first = self._pallas_mass(u1) * (2.0 / dt) - Au1 + P["b0"]
+                b_first = self._pallas_rhs(W, u1, 2.0 / dt) + P["b0"]
                 return uab, ((1.0 / dt, 0.5 * nu), W, uq, W_win), b_first
             # b_first = A_rhs u1 = (2/dt) M u1 - A_lhs u1  (A_rhs + A_lhs = (2/dt) M)
             b_first = self._pallas_rhs(W, u1, 2.0 / dt) + P["b0"]
@@ -1753,7 +1755,7 @@ class FractionalStep_AB_CN:
             d = self._mesh.dim
             W_win = A_lhs[3]
             masks = P["bc_masks"]
-            h = lambda a: po.to_hbm_state(a, sm_v, d)
+            h = lambda a: po.to_hbm_state(a, sm_v)
             rhs = jnp.where(masks, bc_vals, rhs1)
             x0_h = h(jnp.where(masks, bc_vals, x0))
             # r0 = zmask*(rhs - A x0): the kernel already applies zmask to y
@@ -1768,7 +1770,7 @@ class FractionalStep_AB_CN:
                 self._pallas_bicgstab_hbm, W_win, r0_h, x0_h, self._hbm_zmask,
                 invd_h, bnorm, rtol, int(s.maxiter), atol=s.atol,
             )
-            x = po.from_hbm_state(x_h, sm_v, d)
+            x = po.from_hbm_state(x_h, sm_v)
             diff = jnp.sum(jnp.sqrt(jnp.sum((x - u) ** 2, axis=-1)))
             return x, diff, iters, conv
         if self._pallas_tent is not None or self._slab is not None:

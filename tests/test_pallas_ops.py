@@ -438,7 +438,7 @@ def test_hbm_state_bicgstab_kernels(resident):
 
     # HBM-state path: channel-major padded layout end to end
     W_win = po.build_w_win(W, sm_v)
-    h = lambda v: po.to_hbm_state(v, sm_v, d)
+    h = lambda v: po.to_hbm_state(v, sm_v)
     zmask = h(jnp.where(masks, 0.0, 1.0))
     invd = h(jnp.where(diag != 0, 1.0 / jnp.where(diag != 0, diag, 1.0), 1.0)[None]
              * jnp.ones((d, 1)))
@@ -447,7 +447,7 @@ def test_hbm_state_bicgstab_kernels(resident):
     # init matvec through the HBM matvec kernel (r0 = zm*(rhs - A x0))
     mv_h = po.make_matvec_hbm_chan(sm_v, d, interpret=True, resident=resident)
     Ax0_h = mv_h(W_win, h(x0), ones, ones)
-    Ax0 = po.from_hbm_state(Ax0_h, sm_v, d)
+    Ax0 = po.from_hbm_state(Ax0_h, sm_v)
     ref_Ax0 = jnp.stack(
         [cu.tentative_matvec_local(ops, jnp.asarray(A0), uq, x0[i]) for i in range(d)]
     )
@@ -463,7 +463,7 @@ def test_hbm_state_bicgstab_kernels(resident):
     x_h, iters, rnorm, conv = po.bicgstab_hbm_from_r0(
         kernels, W_win, r0, h(x0), zmask, invd, bnorm, rtol, maxiter=60
     )
-    x = po.from_hbm_state(x_h, sm_v, d)
+    x = po.from_hbm_state(x_h, sm_v)
 
     assert bool(np.asarray(conv).all()), (np.asarray(iters), np.asarray(rnorm))
     scale = np.abs(np.asarray(ref.x)).max()

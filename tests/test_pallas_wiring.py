@@ -73,7 +73,6 @@ def _run(options, nsteps=3):
     return solver, u, p
 
 
-@pytest.mark.slow
 def test_pallas_fused_and_hbm_paths_match_xla():
     """XLA path vs fused-VMEM BiCGStab vs HBM-state BiCGStab: the three
     tentative-solve engines agree after 3 TGV steps at f32."""
