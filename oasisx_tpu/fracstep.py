@@ -354,6 +354,8 @@ class FractionalStep_AB_CN:
             )
         elif getattr(self, "_mg", None) is not None:
             pressure = "mg-pcg"
+        elif getattr(self, "_amg_dist", None) is not None:
+            pressure = "amg-pcg-distributed"
         elif getattr(self, "_amg", None) is not None:
             pressure = "amg-pcg"
         elif getattr(self, "_cheb", None) is not None:
@@ -538,25 +540,53 @@ class FractionalStep_AB_CN:
         (la/multigrid.py): used when the structured fast path is active,
         the pressure space is P1, there is no outlet BC, and the pressure
         pc_type is not explicitly jacobi/none. Skipped when the Pallas
-        whole-solve pressure kernel is active (it supersedes MG)."""
+        whole-solve pressure kernel is active (it supersedes MG).
+
+        Under SLAB sharding (round 4, STATUS r4 gap #2) the same global
+        V-cycle applies via coarse-grid agglomeration like the graph-halo
+        AMG (``_make_amg_halo_M``): all_gather the owned slabs, run the
+        replicated V-cycle on the global grid, slice the local slab back.
+        The pressure vector is small next to the velocity work, and the
+        ~5x iteration cut pays for the one all_gather per CG iteration.
+        An explicit ``pc_type: cheb`` still selects Chebyshev there."""
         self._mg = None
+        self._mg_slab_M = None
         if getattr(self, "_pallas_p", None) is not None:
             return
         popts = (solver_options or {}).get("pressure") or {}
         pc = str(popts.get("pc_type", "mg")).lower()
-        if (
-            self._ctx.sq is not None
-            and self._Q.element.degree == 1
+        structured_ok = (
+            self._Q.element.degree == 1
             and not self._have_pbc
-            and pc not in ("jacobi", "none")
+            and self._mesh.structured is not None
             and min(self._mesh.structured.shape) >= 4
-        ):
+        )
+        if self._ctx.sq is not None and structured_ok and pc not in ("jacobi", "none"):
             try:
                 from .la.multigrid import StructuredPoissonMG
 
                 mg = StructuredPoissonMG(self._mesh, dtype=self._dtype)
                 self._mg = mg
                 logger.info("pressure MG enabled: %d levels", mg.num_levels)
+            except ValueError as e:
+                logger.info("pressure MG disabled: %s", e)
+            except Exception as e:  # pragma: no cover - fallback path
+                logger.warning("pressure MG construction failed: %s", e)
+        elif (
+            self._slab is not None
+            and structured_ok
+            and pc in ("mg", "gamg", "hypre", "ml", "amg")
+        ):
+            try:
+                from .la.multigrid import StructuredPoissonMG
+
+                mg = StructuredPoissonMG(self._mesh, dtype=self._dtype)
+                self._mg = mg
+                self._mg_slab_M = self._make_mg_slab_M()
+                logger.info(
+                    "pressure MG enabled under slab sharding "
+                    "(agglomerated apply): %d levels", mg.num_levels,
+                )
             except ValueError as e:
                 logger.info("pressure MG disabled: %s", e)
             except Exception as e:  # pragma: no cover - fallback path
@@ -1045,13 +1075,20 @@ class FractionalStep_AB_CN:
         MG / the whole-solve kernel; the replicated debug mode and slab
         runs keep Chebyshev.
 
-        Under graph-halo sharding the V-cycle applies via coarse-grid
-        agglomeration: all_gather the owned blocks (the pressure vector is
-        small next to the velocity work), run the setup-time V-cycle
-        replicated on every shard, slice the local block back.  One
-        all_gather per CG iteration against the ~5x iteration-count cut."""
+        Under graph-halo sharding (round 4, STATUS r4 gap #3) the V-cycle
+        applies DISTRIBUTED on the fine level: aggregation is constrained
+        to be shard-pure, smoothing/residual run per shard through the
+        same halo'd matvec CG uses, restriction is a per-shard partial
+        over owned fine dofs + one (nagg,) psum, coarse levels run
+        replicated, prolongation back onto owned rows is local.  The only
+        fine-size collective of the previous agglomerated apply (an
+        all_gather of the full residual per application) is replaced by a
+        coarse-size psum — a ~(n/nagg)x ICI cut.  The agglomerated apply
+        (``_make_amg_halo_M``) remains as the fallback when level-0 does
+        not coarsen or via ``pressure: {amg_distributed: False}``."""
         self._amg = None
         self._amg_halo_M = None
+        self._amg_dist = None
         if getattr(self, "_pallas_p", None) is not None or self._mg is not None:
             return
         halo = self._hx_q is not None
@@ -1097,23 +1134,36 @@ class FractionalStep_AB_CN:
                 nv = np.ones(n)
                 if not halo and self._q_nullvec is not None:
                     nv = np.asarray(self._q_nullvec)
+            dof_shard = None
+            if halo:
+                hx = self._hx_q
+                dof_shard = (np.asarray(hx.perm) // hx.nloc).astype(np.int32)
             self._amg = AlgebraicMG(
                 rows, cols, vals, n, dtype=self._dtype,
                 theta=float(popts.get("amg_theta", 0.25)),
                 coarse_max=int(popts.get("amg_coarse_max", 400)),
                 nullvec=nv,
+                dof_shard=dof_shard,
             )
+            apply_kind = ""
             if halo:
-                self._amg_halo_M = self._make_amg_halo_M(n)
+                if self._amg.dist is not None and bool(
+                    popts.get("amg_distributed", True)
+                ):
+                    self._amg_dist = self._make_amg_dist_tables()
+                    apply_kind = " (distributed fine level)"
+                else:
+                    self._amg_halo_M = self._make_amg_halo_M(n)
+                    apply_kind = " (halo-agglomerated apply)"
             logger.info(
                 "pressure AMG enabled: %d levels, coarse n=%d%s",
-                self._amg.num_levels, self._amg.coarse_n,
-                " (halo-agglomerated apply)" if halo else "",
+                self._amg.num_levels, self._amg.coarse_n, apply_kind,
             )
         except Exception as e:  # pragma: no cover - fallback path
             logger.warning("pressure AMG construction failed: %s", e)
             self._amg = None
             self._amg_halo_M = None
+            self._amg_dist = None
 
     def _make_amg_halo_M(self, n: int):
         """Shard_map-legal AMG apply for graph-halo runs: gather the global
@@ -1137,6 +1187,126 @@ class FractionalStep_AB_CN:
             zext = jnp.concatenate([z, jnp.zeros(1, z.dtype)])
             s = jax.lax.axis_index(axis)
             return zext[inv_rows[s]] * own_rows[s]
+
+        return M
+
+    def _make_amg_dist_tables(self) -> dict:
+        """Host-side per-shard tables for the distributed AMG fine level
+        (STATUS r4 gap #3).  Shard-pure aggregation (la/amg.py) makes the
+        level-0 smoothed prolongation P0 splittable by the owner of each
+        FINE dof:
+
+        - R tables (ndev, nagg, K_R): row J of R = P0^T restricted to the
+          fine dofs shard s owns (columns in the local [owned|halo|sent]
+          numbering).  Summing the per-shard partial products and psumming
+          gives the exact global restriction — each fine dof contributes
+          exactly once, on its owner.
+        - P tables (ndev, nloc, K_P): the P0 rows of shard s's owned fine
+          dofs (columns = global aggregate ids into the replicated coarse
+          correction).  Purely local on the way back up.
+        - sm0: the level-0 damped-Jacobi smoother diag in the local
+          layout (zero on halo/pad slots — the owned-dof invariant)."""
+        hx = self._hx_q
+        ndev, nloc = hx.ndev, hx.nloc
+        perm = np.asarray(hx.perm)
+        sgl = (perm // nloc).astype(np.int64)
+        lloc = (perm % nloc).astype(np.int64)
+        d0 = self._amg.dist
+        prw, pcl, pvl = d0["P0"]  # (fine dof i, aggregate J, weight)
+        nagg = int(d0["nagg0"])
+
+        def grouped_slots(keys):
+            """slot index within each group of equal (sorted) keys."""
+            first = np.ones(len(keys), bool)
+            first[1:] = keys[1:] != keys[:-1]
+            starts = np.where(first, np.arange(len(keys)), 0)
+            return np.arange(len(keys)) - np.maximum.accumulate(starts)
+
+        s_of = sgl[prw]
+        order = np.lexsort((pcl, s_of))
+        so, Jo, io, vo = s_of[order], pcl[order], prw[order], pvl[order]
+        slot = grouped_slots(so * nagg + Jo)
+        K_R = int(slot.max()) + 1 if len(slot) else 1
+        Rcols = np.full((ndev, nagg, K_R), nloc - 1, np.int32)
+        Rvals = np.zeros((ndev, nagg, K_R))
+        Rcols[so, Jo, slot] = lloc[io]
+        Rvals[so, Jo, slot] = vo
+
+        order = np.argsort(prw, kind="stable")
+        io, Jo, vo = prw[order], pcl[order], pvl[order]
+        slot = grouped_slots(io)
+        K_P = int(slot.max()) + 1 if len(slot) else 1
+        Pcols = np.zeros((ndev, nloc, K_P), np.int32)
+        Pvals = np.zeros((ndev, nloc, K_P))
+        Pcols[sgl[io], lloc[io], slot] = Jo
+        Pvals[sgl[io], lloc[io], slot] = vo
+
+        sm0 = np.zeros(ndev * nloc)
+        sm0[perm] = d0["sm0"]
+        dt = self._dtype
+        return dict(
+            Rcols=jnp.asarray(Rcols),
+            Rvals=jnp.asarray(Rvals, dt),
+            Pcols=jnp.asarray(Pcols),
+            Pvals=jnp.asarray(Pvals, dt),
+            sm0=jnp.asarray(sm0.reshape(ndev, nloc), dt),
+            own=jnp.asarray(hx.ownmask.reshape(ndev, nloc), dt),
+            n_own=float(hx.ownmask.sum()),
+        )
+
+    def _make_amg_dist_M(self, matvec):
+        """Distributed AMG V(1,1) apply for graph-halo runs: fine-level
+        smoothing/residual through the per-shard operator ``matvec`` (the
+        same halo'd application CG uses), per-shard partial restriction +
+        one (nagg,) psum, replicated coarse cycle, local prolongation.
+        Mathematically identical to ``AlgebraicMG.vcycle`` with the same
+        shard-pure aggregation (pre=post=1 as built by ``_build_amg``) —
+        only the data movement differs."""
+        t = self._amg_dist
+        amg = self._amg
+        axis = self._axis
+        n_own = t["n_own"]
+
+        def M(r):
+            s = jax.lax.axis_index(axis)
+            sm0, own = t["sm0"][s], t["own"][s]
+            if amg.nullvec is not None:
+                r = r - (jax.lax.psum(jnp.vdot(own, r), axis) / n_own) * own
+            z = sm0 * r
+            res = r - matvec(z)
+            rc = jax.lax.psum(
+                jnp.sum(t["Rvals"][s] * res[t["Rcols"][s]], axis=-1), axis
+            )
+            zc = amg.cycle_coarse(rc)
+            z = z + jnp.sum(t["Pvals"][s] * zc[t["Pcols"][s]], axis=-1)
+            z = z + sm0 * (r - matvec(z))
+            if amg.nullvec is not None:
+                z = z - (jax.lax.psum(jnp.vdot(own, z), axis) / n_own) * own
+            return z
+
+        return M
+
+    def _make_mg_slab_M(self):
+        """Shard_map-legal geometric-MG apply for slab-sharded runs:
+        gather the global grid residual from the owned slabs, replicated
+        V-cycle (la/multigrid.py on the global structured map), local
+        slab slice back with halo/pad slots zero (the owned-dof
+        invariant).  The slab analogue of ``_make_amg_halo_M``."""
+        info, axis = self._slab, self._slab_axis
+        g2s = np.asarray(info.grid_to_slab_q)
+        npad_grid = g2s.shape[0]
+        inv = np.full(info.ndev * info.npad_q_loc, npad_grid, np.int64)
+        inv[g2s] = np.arange(npad_grid)
+        inv_rows = jnp.asarray(inv.reshape(info.ndev, info.npad_q_loc))
+        g2s_j = jnp.asarray(g2s)
+        mg = self._mg
+
+        def M(r_loc):
+            stacked = jax.lax.all_gather(r_loc, axis, tiled=True)
+            z = mg.vcycle(stacked[g2s_j])
+            zext = jnp.concatenate([z, jnp.zeros(1, z.dtype)])
+            s = jax.lax.axis_index(axis)
+            return zext[inv_rows[s]]
 
         return M
 
@@ -1888,7 +2058,10 @@ class FractionalStep_AB_CN:
                 )
             else:
                 mv_slab = lambda x: sl.matvec_cube_slab(x, cu_.Ap_c, info.sm_q_loc, ax)
-            if self._cheb is not None:
+            if getattr(self, "_mg_slab_M", None) is not None:
+                # agglomerated geometric-MG V-cycle (STATUS r4 gap #2)
+                M = self._mg_slab_M
+            elif self._cheb is not None:
                 from .la import chebyshev_preconditioner
 
                 degree, lmin, lmax = self._cheb
@@ -1939,11 +2112,12 @@ class FractionalStep_AB_CN:
         if self._mg is not None and not self._have_pbc:
             M = self._mg.vcycle
         elif getattr(self, "_amg", None) is not None:
-            M = (
-                self._amg_halo_M
-                if getattr(self, "_amg_halo_M", None) is not None
-                else self._amg.vcycle
-            )
+            if getattr(self, "_amg_dist", None) is not None:
+                M = self._make_amg_dist_M(matvec)
+            elif getattr(self, "_amg_halo_M", None) is not None:
+                M = self._amg_halo_M
+            else:
+                M = self._amg.vcycle
         elif self._cheb is not None and matvec is not None:
             from .la import chebyshev_preconditioner
 

@@ -67,11 +67,17 @@ def _csr_pointers(rows, n):
     return indptr
 
 
-def _aggregate(rows, cols, vals, n, theta=0.25):
+def _aggregate(rows, cols, vals, n, theta=0.25, shard=None):
     """Greedy aggregation on the strength graph
     |a_ij| >= theta*sqrt(a_ii*a_jj) (standard SA passes 1-3).
     Returns (agg ids (n,), nagg).  Rows with no strong neighbours
-    (Dirichlet identity rows, isolated dofs) become singletons."""
+    (Dirichlet identity rows, isolated dofs) become singletons.
+
+    ``shard`` (n,) optional: strong edges crossing shard boundaries are
+    dropped, so every aggregate is SHARD-PURE — the property the
+    distributed fine-level apply relies on (each shard owns whole
+    aggregates and the smoothed prolongation rows of its owned fine
+    dofs)."""
     diag = np.zeros(n)
     dmask = rows == cols
     diag[rows[dmask]] = vals[dmask]
@@ -79,6 +85,8 @@ def _aggregate(rows, cols, vals, n, theta=0.25):
     r, c, v = rows[off], cols[off], vals[off]
     dd = np.sqrt(np.abs(diag[r] * diag[c]))
     strong = np.abs(v) >= theta * np.where(dd > 0, dd, np.inf)
+    if shard is not None:
+        strong &= shard[r] == shard[c]
     r, c = r[strong], c[strong]
     order = np.argsort(r, kind="stable")
     r, c = r[order], c[order]
@@ -198,15 +206,26 @@ class AlgebraicMG:
         pre: int = 1,
         post: int = 1,
         nullvec: np.ndarray | None = None,
+        dof_shard: np.ndarray | None = None,
     ):
         """``nullvec``: operator nullspace vector (the IPCS pure-Neumann
         pressure constant).  The V-cycle then projects it out of both its
         input and output — without this the coarse pseudo-inverse leaks
         nullspace components that stall PCG (the projected preconditioner
-        stays symmetric positive definite on the complement)."""
+        stays symmetric positive definite on the complement).
+
+        ``dof_shard`` (n,) optional: owning shard per fine dof.  Level-0
+        aggregation then never crosses shard boundaries, and ``self.dist``
+        records the pieces a distributed fine-level apply needs (the
+        level-0 smoothed prolongation in COO form plus the owning shard of
+        each aggregate); coarser levels stay unconstrained (they are
+        applied replicated either way).  The resulting V-cycle is the SAME
+        operator whether applied replicated (``vcycle``) or distributed —
+        only the data movement differs."""
         self.pre, self.post = pre, post
         self.nullvec = None if nullvec is None else jnp.asarray(nullvec, dtype)
         self.levels = []  # (ell_cols, ell_vals, invd*omega_s, R_ell, P_ell)
+        self.dist = None
         # canonicalize (row-major sorted, duplicate-summed) — callers may
         # hand-edit entries (e.g. Dirichlet identity rows)
         lrows, lcols, lvals = _sum_duplicates(
@@ -214,14 +233,17 @@ class AlgebraicMG:
             np.asarray(vals, np.float64), n,
         )
         ln = n
-        for _ in range(max_levels):
+        for li in range(max_levels):
             diag = np.zeros(ln)
             dm = lrows == lcols
             diag[lrows[dm]] = lvals[dm]
             invd = np.where(diag != 0, 1.0 / np.where(diag != 0, diag, 1.0), 1.0)
             if ln <= coarse_max:
                 break
-            agg, nagg = _aggregate(lrows, lcols, lvals, ln, theta)
+            agg, nagg = _aggregate(
+                lrows, lcols, lvals, ln, theta,
+                shard=dof_shard if li == 0 else None,
+            )
             if nagg >= 0.9 * ln:  # no meaningful coarsening left
                 break
             lmax = _power_lmax(lrows, lcols, lvals, invd, ln)
@@ -229,6 +251,12 @@ class AlgebraicMG:
             prw, pcl, pvl = _smoothed_prolongation(
                 lrows, lcols, lvals, ln, agg, nagg, invd, omega_p
             )
+            if li == 0 and dof_shard is not None:
+                self.dist = dict(
+                    P0=(prw.copy(), pcl.copy(), pvl.copy()),
+                    sm0=invd * (4.0 / (3.0 * lmax)),
+                    nagg0=nagg,
+                )
             crw, ccl, cvl = _galerkin(prw, pcl, pvl, lrows, lcols, lvals, ln, nagg)
             ell_c, ell_v = _to_ell(lrows, lcols, lvals, ln, dtype)
             # restriction = P^T: swap row/col then duplicate-sort by row
@@ -245,7 +273,15 @@ class AlgebraicMG:
             )
             lrows, lcols, lvals, ln = crw, ccl, cvl, nagg
         # coarsest: dense pseudo-inverse (pinv -> also handles the singular
-        # pure-Neumann pressure operator)
+        # pure-Neumann pressure operator).  Guard the dense materialization:
+        # if aggregation stalled (weak connections vs theta, e.g. a strongly
+        # graded mesh) ln can still be large — raise so the caller falls
+        # back to Chebyshev instead of an O(ln^3) SVD / host OOM here.
+        if ln > max(4 * coarse_max, 2000):
+            raise ValueError(
+                f"AMG coarsening stalled at n={ln} (> {max(4 * coarse_max, 2000)}):"
+                " aggregation found too few strong connections"
+            )
         Ad = np.zeros((ln, ln))
         Ad[lrows, lcols] = lvals
         self.coarse_inv = jnp.asarray(np.linalg.pinv(Ad), dtype)
@@ -279,3 +315,8 @@ class AlgebraicMG:
         if self.nullvec is None:
             return self._cycle(0, r)
         return self._project(self._cycle(0, self._project(r)))
+
+    def cycle_coarse(self, rc: jax.Array) -> jax.Array:
+        """The V-cycle from level 1 down (the levels a distributed apply
+        runs replicated after restricting the fine residual per shard)."""
+        return self._cycle(1, rc)

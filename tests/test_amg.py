@@ -106,7 +106,7 @@ def test_amg_singular_neumann():
     assert np.linalg.norm(r) <= 1e-8 * np.linalg.norm(b)
 
 
-def _cylinder_solver(pc_type, device_mesh=None):
+def _cylinder_solver(pc_type, device_mesh=None, popts_extra=None):
     from oasisx_tpu import (
         DirichletBC,
         FractionalStep_AB_CN,
@@ -137,6 +137,7 @@ def _cylinder_solver(pc_type, device_mesh=None):
     opts = {"ksp_rtol": 1e-10, "ksp_max_it": 4000}
     popts = dict(opts)
     popts["pc_type"] = pc_type
+    popts.update(popts_extra or {})
     return FractionalStep_AB_CN(
         mesh,
         ("Lagrange", 2),
@@ -176,9 +177,12 @@ def test_cylinder_pressure_amg_cuts_iterations():
 
 
 def test_cylinder_amg_sharded_matches_single_device():
-    """Graph-halo sharded AMG (all_gather + replicated V-cycle + local
-    slice): engages under sharding, solutions == single-device AMG to
-    1e-9, iteration counts match (same preconditioned operator)."""
+    """Graph-halo sharded AMG: the DISTRIBUTED fine-level apply (per-shard
+    smoothing + partial restriction + one coarse psum, STATUS r4 gap #3)
+    engages by default, solutions == single-device AMG to 1e-9, iteration
+    counts close (shard-pure aggregation differs only near boundaries);
+    the agglomerated apply (amg_distributed=False) gives the SAME
+    preconditioner as the distributed one — identical iteration counts."""
     from jax.sharding import Mesh
 
     devs = jax.devices()
@@ -189,18 +193,33 @@ def test_cylinder_amg_sharded_matches_single_device():
     dt, nu = 2e-3, 1e-3
     ref = _cylinder_solver("amg")
     sol = _cylinder_solver("amg", device_mesh=dmesh)
+    agg = _cylinder_solver(
+        "amg", device_mesh=dmesh, popts_extra={"amg_distributed": False}
+    )
     assert sol._hx_q is not None, "halo sharding did not engage"
-    assert sol.config_report()["pressure_pc"] == "amg-pcg"
+    assert sol.config_report()["pressure_pc"] == "amg-pcg-distributed"
+    assert sol._amg_dist is not None
+    assert agg._amg_dist is None and agg._amg_halo_M is not None
 
     for _ in range(3):
         ref.solve(dt, nu, max_iter=2)
         sol.solve(dt, nu, max_iter=2)
+        agg.solve(dt, nu, max_iter=2)
         assert sol.last_stats["p_converged"]
+        # same operator, same (shard-constrained) aggregation: the two
+        # sharded applies are the same preconditioner up to fp reordering
+        assert (
+            np.asarray(sol.last_stats["p_iters"]).tolist()
+            == np.asarray(agg.last_stats["p_iters"]).tolist()
+        )
     assert abs(
         float(np.max(sol.last_stats["p_iters"]))
         - float(np.max(ref.last_stats["p_iters"]))
-    ) <= 2
+    ) <= 3
     for i in range(2):
         a, b = ref._u[i].x.array, sol._u[i].x.array
         assert np.abs(a - b).max() < 1e-9, (i, np.abs(a - b).max())
     assert np.abs(ref._p.x.array - sol._p.x.array).max() < 1e-8
+    for i in range(2):
+        a, b = agg._u[i].x.array, sol._u[i].x.array
+        assert np.abs(a - b).max() < 1e-10, (i, np.abs(a - b).max())

@@ -328,3 +328,62 @@ def test_slab_kernels_match_plain_slab_and_single_device():
         assert np.abs(a - b).max() < 1e-9, np.abs(a - b).max()
         assert np.abs(a - c).max() < 1e-9, np.abs(a - c).max()
     assert np.abs(s_one._p.x.array - s_kern._p.x.array).max() < 1e-8
+
+
+def test_slab_mg_pressure_matches_and_cuts_iterations():
+    """Geometric-MG pressure preconditioning under slab sharding via the
+    agglomerated V-cycle (STATUS r4 gap #2): engages by default, matches
+    the single-device MG run to 1e-9 with the SAME iteration counts, and
+    beats the Chebyshev fallback; explicit pc_type 'cheb' still selects
+    Chebyshev."""
+    import jax
+    from jax.sharding import Mesh
+    from oasisx_tpu import DirichletBC, FractionalStep_AB_CN, LocatorMethod
+    from oasisx_tpu.meshes import create_rectangle, meshtags
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("need 2 devices")
+    dmesh = Mesh(np.array(devs[:2]), ("cells",))
+
+    def build(device_mesh=None, pc="mg"):
+        m = create_rectangle((0.0, 0.0), (np.pi, np.pi), (16, 16))
+        facets = m.exterior_facet_indices()
+        tags = meshtags(m, m.dim - 1, facets, np.full_like(facets, 1))
+        gx = lambda x: 0.2 * np.sin(x[0]) * np.cos(x[1])
+        gy = lambda x: -0.2 * np.cos(x[0]) * np.sin(x[1])
+        bcs = [
+            [DirichletBC(f, LocatorMethod.TOPOLOGICAL, (tags, 1))] for f in (gx, gy)
+        ]
+        sol = FractionalStep_AB_CN(
+            m, ("Lagrange", 2), ("Lagrange", 1), bcs, [],
+            solver_options={
+                "tentative": {"ksp_rtol": 1e-12},
+                "scalar": {"ksp_rtol": 1e-12},
+                "pressure": {"ksp_rtol": 1e-12, "pc_type": pc},
+            },
+            device_mesh=device_mesh,
+        )
+        for f, u1, u2 in zip((gx, gy), sol._u1, sol._u2):
+            u1.interpolate(f)
+            u2.interpolate(f)
+        return sol
+
+    s_ref = build()
+    s_mg = build(device_mesh=dmesh)
+    s_ch = build(device_mesh=dmesh, pc="cheb")
+    assert s_ref._mg is not None
+    assert s_mg._mg_slab_M is not None and s_mg._slab is not None
+    assert s_ch._mg is None and s_ch._cheb is not None
+
+    for s in (s_ref, s_mg, s_ch):
+        s.solve(0.01, 0.05, max_iter=2)
+    it_mg = int(np.asarray(s_mg.last_stats["p_iters"]))
+    it_ch = int(np.asarray(s_ch.last_stats["p_iters"]))
+    it_ref = int(np.asarray(s_ref.last_stats["p_iters"]))
+    assert it_mg == it_ref, (it_mg, it_ref)
+    assert it_mg < it_ch, (it_mg, it_ch)
+    for i in range(2):
+        a, b = s_mg._u[i].x.array, s_ref._u[i].x.array
+        assert np.abs(a - b).max() < 1e-9, np.abs(a - b).max()
+    assert np.abs(s_mg._p.x.array - s_ref._p.x.array).max() < 1e-8
