@@ -240,10 +240,21 @@ class AlgebraicMG:
             invd = np.where(diag != 0, 1.0 / np.where(diag != 0, diag, 1.0), 1.0)
             if ln <= coarse_max:
                 break
-            agg, nagg = _aggregate(
-                lrows, lcols, lvals, ln, theta,
-                shard=dof_shard if li == 0 else None,
-            )
+            # adaptive strength threshold: Galerkin coarse operators have
+            # wide stencils whose off-diagonals are mostly weak vs a fixed
+            # theta — greedy aggregation then degenerates to singletons
+            # (observed on the DFG cylinder at res=40: stall at n=2904).
+            # Retry a stalled level with progressively smaller theta; at
+            # theta=0 every connection is strong, so any connected graph
+            # coarsens.  Standard SA practice (PyAMG weakens strength on
+            # coarse levels for the same reason).
+            for th in (theta, theta / 4.0, 0.0):
+                agg, nagg = _aggregate(
+                    lrows, lcols, lvals, ln, th,
+                    shard=dof_shard if li == 0 else None,
+                )
+                if nagg < 0.5 * ln:
+                    break
             if nagg >= 0.9 * ln:  # no meaningful coarsening left
                 break
             lmax = _power_lmax(lrows, lcols, lvals, invd, ln)

@@ -106,6 +106,29 @@ def test_amg_singular_neumann():
     assert np.linalg.norm(r) <= 1e-8 * np.linalg.norm(b)
 
 
+def test_amg_adaptive_theta_rescues_stalled_coarsening():
+    """A strength threshold too large for the operator (here: theta so big
+    no connection qualifies) must not degrade the hierarchy to singletons —
+    the setup retries the level with smaller theta (theta/4, then 0).
+    Regression: the DFG cylinder at res=40 stalled at theta=0.25 on a
+    Galerkin coarse level and silently fell back to Chebyshev (~95
+    p_iters/step instead of ~12)."""
+    rows, cols, vals, n = _fd_laplacian(48)
+    amg = AlgebraicMG(rows, cols, vals, n, dtype=jnp.float64, theta=10.0)
+    assert amg.num_levels >= 2  # did coarsen despite the hopeless theta
+    assert amg.coarse_n <= 400
+
+    Ad = np.zeros((n, n))
+    Ad[rows, cols] = vals
+    rng = np.random.default_rng(2)
+    b = rng.standard_normal(n)
+    b[:48] = 0.0
+    mv = lambda x: jnp.asarray(Ad) @ x
+    res = cg(mv, jnp.asarray(b), M=amg.vcycle, rtol=1e-10, maxiter=100)
+    assert bool(res.converged)
+    assert int(res.iters) <= 25, int(res.iters)
+
+
 def _cylinder_solver(pc_type, device_mesh=None, popts_extra=None):
     from oasisx_tpu import (
         DirichletBC,
