@@ -1994,3 +1994,494 @@ def make_matvec_pf(sm: StructuredMap, C, d: int, interpret: bool = False):
         )(x, jnp.asarray(mask_h, x.dtype))
 
     return mv
+
+
+# ===========================================================================
+# Fused ELL Krylov kernels for the GENERAL (unstructured) path (round 4)
+#
+# The single-device unstructured configs — DFG cylinder, gmsh imports, any
+# mesh without the structured lattice — previously ran ZERO Pallas kernels:
+# every Krylov iteration was an XLA gather/einsum body (~40-90 dispatched
+# ops) and the AMG-preconditioned pressure CG body alone cost ~90 ops per
+# iteration, so a res=40 cylinder step dispatched ~1000 ops and the relay
+# cost model (see module docstring) made the TPU no faster than a CPU core.
+#
+# These kernels collapse each Krylov iteration of the general path into
+# ONE op, reusing the ELL take+FMA matvec of the graph-halo shards
+# (make_ell_matvec): the operator lives in VMEM as (K, n) vals/cols tables
+# (assembled once per solve by ell_values' hoisted segment-sum), and the
+# full iteration algebra — matvecs, Jacobi or AMG-V-cycle preconditioning,
+# reductions, vector updates, bc-row masking — runs in-kernel.  Semantics
+# mirror la/krylov.py bicgstab_batched / cg_batched / cg exactly so the
+# XLA and kernel engines converge in the same iterations.
+#
+# Reference semantics: PETSc KSP solves at
+# /root/reference/src/oasisx/fracstep.py:508-525,553-605,607-658 and
+# ksp.py:71-78; the AMG V-cycle is la/amg.py:AlgebraicMG (the rebuild's
+# stand-in for MUMPS / pc_type gamg|hypre).
+# ===========================================================================
+
+
+def _ell_mv_val(vals_ref, cols_ref, src, K):
+    """ELL matvec over a loaded (n,) value: y = sum_k vals[k]*src[cols[k]]."""
+    acc = None
+    for k in range(K):
+        t = vals_ref[k] * jnp.take(src, cols_ref[k], axis=0)
+        acc = t if acc is None else acc + t
+    return acc
+
+
+def make_ell_bicgstab_iter(K: int, n: int, nb: int, interpret: bool = False):
+    """ONE batched-BiCGStab iteration for an ELL-form operator as a single
+    kernel — the unstructured counterpart of :func:`make_bicgstab_iter`.
+
+    fn(vals, cols, x, r, p, rhat, zmask, invd, rho, rnorm, iters, tol)
+      -> (x', r', p', rho', rnorm', iters')
+
+    vals/cols (K, n); state (nb, n); scalars (nb,) in SMEM.  ``zmask`` is
+    0.0 on Dirichlet rows (bc rows carry the identity; all Krylov vectors
+    vanish there when the caller seeds x0's bc rows with the bc values and
+    zero-masks r0).  ``invd`` (n,) is the shared Jacobi inverse diagonal.
+    Semantics == la/krylov.py:bicgstab_batched (active-row freezing
+    included), M = Jacobi."""
+
+    def kernel(vals_ref, cols_ref, x_ref, r_ref, p_ref, rhat_ref, zm_ref,
+               invd_ref, rho_ref, rn_ref, it_ref, tol_ref,
+               xo_ref, ro_ref, po_ref, rhoo_ref, rno_ref, ito_ref):
+        invd = invd_ref[:]
+        for b in range(nb):
+            active = rn_ref[b] > tol_ref[b]
+            act = jnp.where(active, 1.0, 0.0).astype(x_ref.dtype)
+            rho = rho_ref[b]
+            r = r_ref[b]
+            p = p_ref[b]
+            rhat = rhat_ref[b]
+            zm = zm_ref[b]
+            phat = invd * p
+            v = zm * _ell_mv_val(vals_ref, cols_ref, phat, K)
+            rv = jnp.sum(rhat * v)
+            alpha = rho / jnp.where(rv != 0, rv, 1.0)
+            s = r - alpha * v
+            shat = invd * s
+            t = zm * _ell_mv_val(vals_ref, cols_ref, shat, K)
+            tt = jnp.sum(t * t)
+            omega = jnp.sum(t * s) / jnp.where(tt != 0, tt, 1.0)
+            xo_ref[b] = x_ref[b] + act * (alpha * phat + omega * shat)
+            r_new = jnp.where(active, s - omega * t, r)
+            ro_ref[b] = r_new
+            rho_new = jnp.where(active, jnp.sum(rhat * r_new), rho)
+            beta = (rho_new / jnp.where(rho != 0, rho, 1.0)) * (
+                alpha / jnp.where(omega != 0, omega, 1.0)
+            )
+            po_ref[b] = jnp.where(active, r_new + beta * (p - omega * v), p)
+            rhoo_ref[b] = rho_new
+            rno_ref[b] = jnp.where(
+                active, jnp.sqrt(jnp.sum(r_new * r_new)), rn_ref[b]
+            )
+            ito_ref[b] = it_ref[b] + active.astype(jnp.int32)
+
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    shape = (nb, n)
+
+    @jax.jit
+    def step(vals, cols, x, r, p, rhat, zmask, invd, rho, rnorm, iters, tol):
+        return pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct(shape, x.dtype),   # x'
+                jax.ShapeDtypeStruct(shape, x.dtype),   # r'
+                jax.ShapeDtypeStruct(shape, x.dtype),   # p'
+                jax.ShapeDtypeStruct((nb,), x.dtype),   # rho'
+                jax.ShapeDtypeStruct((nb,), x.dtype),   # rnorm'
+                jax.ShapeDtypeStruct((nb,), jnp.int32),  # iters'
+            ),
+            in_specs=[vmem()] * 8 + [smem()] * 4,
+            out_specs=(vmem(),) * 3 + (smem(),) * 3,
+            input_output_aliases={2: 0, 3: 1, 4: 2},  # x, r, p in-place
+            compiler_params=_BIG_VMEM,
+            interpret=interpret,
+        )(vals, cols, x, r, p, rhat, zmask, invd, rho, rnorm, iters, tol)
+
+    return step
+
+
+def ell_bicgstab_from_r0(
+    iter_fn, vals, cols, r0, x0, zmask, invd, bnorm, rtol, maxiter,
+    atol=1e-50,
+):
+    """Drive the fused ELL BiCGStab iteration from a precomputed
+    r0 = zmask * (b - A x0) (caller does the init matvec; x0's bc rows hold
+    the bc values so r0 vanishes there).  ``bnorm`` is the per-row ||b||
+    INCLUDING bc rows, matching bicgstab_batched."""
+    nb = r0.shape[0]
+    dt_ = r0.dtype
+    tol = jnp.maximum(rtol * bnorm, atol).astype(dt_)
+    rho0 = jnp.sum(r0 * r0, axis=-1)
+    rnorm0 = jnp.sqrt(rho0)
+    rhat = r0
+
+    def cond(c):
+        x, r, p, rho, rn, it, k = c
+        return jnp.any(rn > tol) & (k < maxiter)
+
+    def body(c):
+        x, r, p, rho, rn, it, k = c
+        x, r, p, rho, rn, it = iter_fn(
+            vals, cols, x, r, p, rhat, zmask, invd, rho, rn, it, tol
+        )
+        return (x, r, p, rho, rn, it, k + 1)
+
+    x, r, p, rho, rn, it, k = jax.lax.while_loop(
+        cond,
+        body,
+        (x0, r0, r0, rho0.astype(dt_), rnorm0.astype(dt_),
+         jnp.zeros(nb, jnp.int32), jnp.int32(0)),
+    )
+    return x, it, rn, rn <= tol
+
+
+def make_ell_cg_iter(K: int, n: int, nb: int, interpret: bool = False):
+    """ONE batched Jacobi-PCG iteration for an ELL-form operator (the mass
+    solves of the velocity update, reference fracstep.py:607-658).
+
+    fn(vals, cols, x, r, p, invd, rz, rnorm, iters, tol)
+      -> (x', r', p', rz', rnorm', iters')
+
+    Semantics == la/krylov.py:cg_batched with M = Jacobi(invd)."""
+
+    def kernel(vals_ref, cols_ref, x_ref, r_ref, p_ref, invd_ref,
+               rz_ref, rn_ref, it_ref, tol_ref,
+               xo_ref, ro_ref, po_ref, rzo_ref, rno_ref, ito_ref):
+        invd = invd_ref[:]
+        for b in range(nb):
+            active = rn_ref[b] > tol_ref[b]
+            rz = rz_ref[b]
+            p = p_ref[b]
+            Ap = _ell_mv_val(vals_ref, cols_ref, p, K)
+            pAp = jnp.sum(p * Ap)
+            alpha = jnp.where(
+                active, rz / jnp.where(pAp != 0, pAp, 1.0), 0.0
+            ).astype(x_ref.dtype)
+            xo_ref[b] = x_ref[b] + alpha * p
+            r_new = r_ref[b] - alpha * Ap
+            ro_ref[b] = r_new
+            z = invd * r_new
+            rz_new = jnp.where(active, jnp.sum(r_new * z), rz)
+            beta = jnp.where(
+                active, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0
+            ).astype(x_ref.dtype)
+            po_ref[b] = jnp.where(active, z + beta * p, p)
+            rzo_ref[b] = rz_new
+            rno_ref[b] = jnp.sqrt(jnp.sum(r_new * r_new))
+            ito_ref[b] = it_ref[b] + active.astype(jnp.int32)
+
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    shape = (nb, n)
+
+    @jax.jit
+    def step(vals, cols, x, r, p, invd, rz, rnorm, iters, tol):
+        return pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct(shape, x.dtype),
+                jax.ShapeDtypeStruct(shape, x.dtype),
+                jax.ShapeDtypeStruct(shape, x.dtype),
+                jax.ShapeDtypeStruct((nb,), x.dtype),
+                jax.ShapeDtypeStruct((nb,), x.dtype),
+                jax.ShapeDtypeStruct((nb,), jnp.int32),
+            ),
+            in_specs=[vmem()] * 6 + [smem()] * 4,
+            out_specs=(vmem(),) * 3 + (smem(),) * 3,
+            input_output_aliases={2: 0, 3: 1, 4: 2},
+            compiler_params=_BIG_VMEM,
+            interpret=interpret,
+        )(vals, cols, x, r, p, invd, rz, rnorm, iters, tol)
+
+    return step
+
+
+def ell_cg_batched_from_r0(
+    iter_fn, vals, cols, r0, x0, invd, bnorm, rtol, maxiter, atol=1e-50
+):
+    """Drive the fused batched CG from r0 = b - A x0 (caller's matvec)."""
+    nb = r0.shape[0]
+    dt_ = r0.dtype
+    tol = jnp.maximum(rtol * bnorm, atol).astype(dt_)
+    z0 = invd[None] * r0
+    rz0 = jnp.sum(r0 * z0, axis=-1).astype(dt_)
+    rn0 = jnp.sqrt(jnp.sum(r0 * r0, axis=-1)).astype(dt_)
+
+    def cond(c):
+        x, r, p, rz, rn, it, k = c
+        return jnp.any(rn > tol) & (k < maxiter)
+
+    def body(c):
+        x, r, p, rz, rn, it, k = c
+        x, r, p, rz, rn, it = iter_fn(
+            vals, cols, x, r, p, invd, rz, rn, it, tol
+        )
+        return (x, r, p, rz, rn, it, k + 1)
+
+    x, r, p, rz, rn, it, k = jax.lax.while_loop(
+        cond, body,
+        (x0, r0, z0, rz0, rn0, jnp.zeros(nb, jnp.int32), jnp.int32(0)),
+    )
+    return x, it, rn, rn <= tol
+
+
+def amg_kernel_data(amg):
+    """Flatten an ``la.amg.AlgebraicMG`` into (meta, device arrays) for the
+    in-kernel V-cycle: per level [Avals, Acols, sm, Pvals, Pcols, Rvals,
+    Rcols] in the (K, n) kernel layout, then coarse_inv TRANSPOSED (the
+    in-kernel coarse solve is a broadcast-multiply + sublane reduction,
+    z_c[j] = sum_i CinvT[i, j] r[i]), then the nullspace vector if any."""
+    meta_levels, arrays = [], []
+    for lv in amg.levels:
+        Ac, Av = lv["A"]
+        Pc, Pv = lv["P"]
+        Rc, Rv = lv["R"]
+        meta_levels.append(
+            dict(
+                n=int(lv["n"]), nc=int(lv["nc"]),
+                K_A=int(Ac.shape[1]), K_P=int(Pc.shape[1]),
+                K_R=int(Rc.shape[1]),
+            )
+        )
+        arrays += [
+            jnp.asarray(Av).T, jnp.asarray(Ac, jnp.int32).T,
+            jnp.asarray(lv["sm"]),
+            jnp.asarray(Pv).T, jnp.asarray(Pc, jnp.int32).T,
+            jnp.asarray(Rv).T, jnp.asarray(Rc, jnp.int32).T,
+        ]
+    arrays.append(jnp.asarray(amg.coarse_inv).T)
+    meta = dict(
+        levels=meta_levels,
+        coarse_n=int(amg.coarse_n),
+        pre=int(amg.pre),
+        post=int(amg.post),
+        has_null=amg.nullvec is not None,
+    )
+    if amg.nullvec is not None:
+        arrays.append(jnp.asarray(amg.nullvec))
+    return meta, arrays
+
+
+def amg_data_bytes(meta, arrays):
+    return int(sum(a.size * a.dtype.itemsize for a in arrays))
+
+
+def _unpack_amg_refs(meta, refs):
+    """refs -> (per-level dicts, coarse_inv_T ref, nullvec ref or None,
+    leftover refs)."""
+    lrefs, i = [], 0
+    for _ in meta["levels"]:
+        lrefs.append(
+            dict(
+                Av=refs[i], Ac=refs[i + 1], sm=refs[i + 2],
+                Pv=refs[i + 3], Pc=refs[i + 4],
+                Rv=refs[i + 5], Rc=refs[i + 6],
+            )
+        )
+        i += 7
+    cinvT = refs[i]
+    i += 1
+    nullv = None
+    if meta["has_null"]:
+        nullv = refs[i]
+        i += 1
+    return lrefs, cinvT, nullv, refs[i:]
+
+
+def _emit_vcycle(meta, lrefs, cinvT_ref, nullvec_ref, r):
+    """Unrolled symmetric V(pre,post) cycle over the ELL level tables —
+    the in-kernel mirror of la/amg.py:AlgebraicMG.vcycle (identical
+    operation order so PCG converges in the same iterations)."""
+
+    def project(v):
+        nv = nullvec_ref[:]
+        return v - (jnp.sum(nv * v) / jnp.sum(nv * nv)) * nv
+
+    if meta["has_null"]:
+        r = project(r)
+    rs, zs = [r], []
+    for l, m in enumerate(meta["levels"]):
+        lr = lrefs[l]
+        sm = lr["sm"][:]
+        z = sm * rs[l]
+        for _ in range(meta["pre"] - 1):
+            z = z + sm * (rs[l] - _ell_mv_val(lr["Av"], lr["Ac"], z, m["K_A"]))
+        resid = rs[l] - _ell_mv_val(lr["Av"], lr["Ac"], z, m["K_A"])
+        rc = _ell_mv_val(lr["Rv"], lr["Rc"], resid, m["K_R"])
+        zs.append(z)
+        rs.append(rc)
+    # coarsest: dense pseudo-inverse, z_c = pinv @ r  (CinvT stored)
+    rL = rs[-1]
+    z = jnp.sum(cinvT_ref[:] * rL[:, None], axis=0)
+    for l in reversed(range(len(meta["levels"]))):
+        m, lr = meta["levels"][l], lrefs[l]
+        sm = lr["sm"][:]
+        zl = zs[l] + _ell_mv_val(lr["Pv"], lr["Pc"], z, m["K_P"])
+        for _ in range(meta["post"]):
+            zl = zl + sm * (rs[l] - _ell_mv_val(lr["Av"], lr["Ac"], zl, m["K_A"]))
+        z = zl
+    if meta["has_null"]:
+        z = project(z)
+    return z
+
+
+def make_ell_vcycle(meta, n0: int, interpret: bool = False):
+    """The whole AMG V-cycle as ONE kernel: fn(*amg_arrays, r) -> z.
+    Used for the PCG init z0 = M(r0); the per-iteration application is
+    fused into :func:`make_ell_pcg_amg_iter`."""
+    nref = len(meta["levels"]) * 7 + 1 + (1 if meta["has_null"] else 0)
+
+    def kernel(*refs):
+        lrefs, cinvT, nullv, rest = _unpack_amg_refs(meta, list(refs))
+        r_ref, z_ref = rest
+        z_ref[:] = _emit_vcycle(meta, lrefs, cinvT, nullv, r_ref[:])
+
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    @jax.jit
+    def vcycle(*args):
+        r = args[-1]
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((n0,), r.dtype),
+            in_specs=[vmem()] * (nref + 1),
+            out_specs=vmem(),
+            compiler_params=_BIG_VMEM,
+            interpret=interpret,
+        )(*args)
+
+    return vcycle
+
+
+def make_ell_pcg_amg_iter(
+    meta, K0: int, n0: int, has_mask: bool, interpret: bool = False
+):
+    """ONE AMG-preconditioned CG iteration for the unstructured pressure
+    Poisson as a single kernel: the fine ELL matvec, the full in-kernel
+    V-cycle, and the CG vector updates/reductions.
+
+    fn(vals0, cols0, *amg_arrays, [mask], x, r, p, rz, rnorm, brk)
+      -> (x', r', p', rz', rnorm', brk')
+
+    ``mask`` (present iff has_mask) is 1.0 on outlet-Dirichlet rows: the
+    matvec is then  where(mask, p, A (1-mask) p)  — identical to
+    engine.bc_symmetric_matvec.  When meta['has_null'], A p is projected
+    against the nullspace vector (cg's demean) and the V-cycle projects
+    input/output.  Semantics == la/krylov.py:cg (incl. the pAp/rz
+    breakdown flags)."""
+    namg = len(meta["levels"]) * 7 + 1 + (1 if meta["has_null"] else 0)
+
+    def kernel(*refs):
+        vals0, cols0 = refs[0], refs[1]
+        lrefs, cinvT, nullv, rest = _unpack_amg_refs(meta, list(refs[2:]))
+        if has_mask:
+            mask_ref = rest[0]
+            rest = rest[1:]
+        (x_ref, r_ref, p_ref, rz_ref, rn_ref, brk_ref,
+         xo_ref, ro_ref, po_ref, rzo_ref, rno_ref, brko_ref) = rest
+
+        p = p_ref[:]
+        if has_mask:
+            mask = mask_ref[:]
+            Ap = _ell_mv_val(vals0, cols0, (1.0 - mask) * p, K0)
+            Ap = mask * p + (1.0 - mask) * Ap
+        else:
+            Ap = _ell_mv_val(vals0, cols0, p, K0)
+        if meta["has_null"]:
+            nv = nullv[:]
+            Ap = Ap - (jnp.sum(nv * Ap) / jnp.sum(nv * nv)) * nv
+        rz = rz_ref[0]
+        pAp = jnp.sum(p * Ap)
+        brk = brk_ref[0] | (pAp == 0).astype(jnp.int32)
+        alpha = rz / jnp.where(pAp != 0, pAp, 1.0)
+        xo_ref[:] = x_ref[:] + alpha * p
+        r_new = r_ref[:] - alpha * Ap
+        ro_ref[:] = r_new
+        z = _emit_vcycle(meta, lrefs, cinvT, nullv, r_new)
+        rz_new = jnp.sum(r_new * z)
+        brk = brk | (rz == 0).astype(jnp.int32)
+        beta = rz_new / jnp.where(rz != 0, rz, 1.0)
+        po_ref[:] = z + beta * p
+        rzo_ref[0] = rz_new
+        rno_ref[0] = jnp.sqrt(jnp.sum(r_new * r_new))
+        brko_ref[0] = brk
+
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    n_in = 2 + namg + (1 if has_mask else 0) + 3
+
+    @jax.jit
+    def step(*args):
+        x = args[-6]
+        return pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((n0,), x.dtype),
+                jax.ShapeDtypeStruct((n0,), x.dtype),
+                jax.ShapeDtypeStruct((n0,), x.dtype),
+                jax.ShapeDtypeStruct((1,), x.dtype),
+                jax.ShapeDtypeStruct((1,), x.dtype),
+                jax.ShapeDtypeStruct((1,), jnp.int32),
+            ),
+            in_specs=[vmem()] * n_in + [smem()] * 3,
+            out_specs=(vmem(),) * 3 + (smem(),) * 3,
+            input_output_aliases={n_in - 3: 0, n_in - 2: 1, n_in - 1: 2},
+            compiler_params=_BIG_VMEM,
+            interpret=interpret,
+        )(*args)
+
+    return step
+
+
+def ell_pcg_amg_solve(
+    iter_fn, vcycle_fn, matvec_fn, amg_arrays, vals0, cols0, b, x0,
+    rtol, maxiter, atol=1e-50, mask=None, nullvec=None,
+):
+    """AMG-preconditioned CG driven by the one-iteration kernel — the XLA
+    while_loop carries (x, r, p, rz, rnorm, brk, k) and the body is ONE op.
+    Mirrors la/krylov.py:cg with project_nullspace=(nullvec is not None):
+    b and r0 demeaned, A p demeaned in-kernel, x demeaned on exit.
+    ``matvec_fn`` is the caller's one-op fine matvec (mask wrap included)
+    used once for r0."""
+    dt_ = b.dtype
+
+    if nullvec is not None:
+        ee = jnp.vdot(nullvec, nullvec)
+        demean = lambda v: v - (jnp.vdot(nullvec, v) / ee) * nullvec
+    else:
+        demean = lambda v: v
+
+    b = demean(b)
+    bnorm = jnp.sqrt(jnp.sum(b * b))
+    tol = jnp.maximum(rtol * bnorm, atol).astype(dt_)
+    r0 = demean(b - matvec_fn(x0))
+    z0 = vcycle_fn(*amg_arrays, r0)
+    rz0 = jnp.sum(r0 * z0).reshape(1).astype(dt_)
+    rn0 = jnp.sqrt(jnp.sum(r0 * r0)).reshape(1).astype(dt_)
+    extra = (mask,) if mask is not None else ()
+
+    def cond(c):
+        x, r, p, rz, rn, brk, k = c
+        return (rn[0] > tol) & (k < maxiter) & (brk[0] == 0)
+
+    def body(c):
+        x, r, p, rz, rn, brk, k = c
+        x, r, p, rz, rn, brk = iter_fn(
+            vals0, cols0, *amg_arrays, *extra, x, r, p, rz, rn, brk
+        )
+        return (x, r, p, rz, rn, brk, k + 1)
+
+    x, r, p, rz, rn, brk, k = jax.lax.while_loop(
+        cond, body,
+        (x0, r0, z0, rz0, rn0, jnp.zeros(1, jnp.int32), jnp.int32(0)),
+    )
+    if nullvec is not None:
+        x = demean(x)
+    conv = rn[0] <= tol
+    return x, k, rn[0], conv
