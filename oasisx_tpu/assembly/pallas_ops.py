@@ -2116,8 +2116,9 @@ def ell_bicgstab_from_r0(
     INCLUDING bc rows, matching bicgstab_batched."""
     nb = r0.shape[0]
     dt_ = r0.dtype
+    red = tuple(range(1, r0.ndim))  # state may be (nb, n) or (nb, R, 128)
     tol = jnp.maximum(rtol * bnorm, atol).astype(dt_)
-    rho0 = jnp.sum(r0 * r0, axis=-1)
+    rho0 = jnp.sum(r0 * r0, axis=red)
     rnorm0 = jnp.sqrt(rho0)
     rhat = r0
 
@@ -2208,10 +2209,11 @@ def ell_cg_batched_from_r0(
     """Drive the fused batched CG from r0 = b - A x0 (caller's matvec)."""
     nb = r0.shape[0]
     dt_ = r0.dtype
+    red = tuple(range(1, r0.ndim))  # state may be (nb, n) or (nb, R, 128)
     tol = jnp.maximum(rtol * bnorm, atol).astype(dt_)
     z0 = invd[None] * r0
-    rz0 = jnp.sum(r0 * z0, axis=-1).astype(dt_)
-    rn0 = jnp.sqrt(jnp.sum(r0 * r0, axis=-1)).astype(dt_)
+    rz0 = jnp.sum(r0 * z0, axis=red).astype(dt_)
+    rn0 = jnp.sqrt(jnp.sum(r0 * r0, axis=red)).astype(dt_)
 
     def cond(c):
         x, r, p, rz, rn, it, k = c
@@ -2485,3 +2487,202 @@ def ell_pcg_amg_solve(
         x = demean(x)
     conv = rn[0] <= tol
     return x, k, rn[0], conv
+
+
+# ---------------------------------------------------------------------------
+# band-ELL kernels: unstructured operators on hardware whose Mosaic only
+# lowers 2D take_along_axis (assembly/band.py builds the tables; vectors
+# live as RCM-permuted (R, 128) lane tiles inside the solve)
+# ---------------------------------------------------------------------------
+
+
+def _band_shift_frame(x2, s: int, Rr: int):
+    """O_s[rb] = x2[rb + s] where in range, else 0 — the static
+    shift-into-frame of the source tiles (two static slices + zero fill;
+    also reframes an (Rc, 128) source into Rr output rows for
+    rectangular operators)."""
+    Rc, lane = x2.shape
+    a = max(0, -s)
+    b = min(Rr, Rc - s)
+    if b <= a:
+        return jnp.zeros((Rr, lane), x2.dtype)
+    parts = []
+    if a > 0:
+        parts.append(jnp.zeros((a, lane), x2.dtype))
+    parts.append(x2[a + s : b + s])
+    if Rr - b > 0:
+        parts.append(jnp.zeros((Rr - b, lane), x2.dtype))
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+
+
+def _band_mv_val(vals_ref, cols_ref, shifts, x2, Rr: int):
+    """y2 = A x2 with A in band-ELL form (assembly/band.py):
+
+        y2[rb, j] = sum_slot vals[slot, rb, j]
+                    * frame(x2, shifts[slot])[rb, cols[slot, rb, j]]
+
+    Lane gathers + static shifts only — Mosaic-legal on every TPU
+    generation (slots are sorted by shift so each frame is built once)."""
+    acc = None
+    cur, xs = None, None
+    for i, s in enumerate(shifts):
+        if s != cur:
+            xs = _band_shift_frame(x2, s, Rr)
+            cur = s
+        t = vals_ref[i] * jnp.take_along_axis(xs, cols_ref[i], axis=1)
+        acc = t if acc is None else acc + t
+    if acc is None:
+        acc = jnp.zeros((Rr, x2.shape[1]), x2.dtype)
+    return acc
+
+
+def make_band_matvec_batched(
+    shifts: tuple, Rr: int, Rc: int, nb: int, interpret: bool = False
+):
+    """Batched band-ELL matvec: fn(vals (S,Rr,128), cols (S,Rr,128) i32,
+    x (nb,Rc,128)) -> (nb,Rr,128)."""
+    S = len(shifts)
+
+    def kernel(vals_ref, cols_ref, x_ref, y_ref):
+        for b in range(nb):
+            y_ref[b] = _band_mv_val(vals_ref, cols_ref, shifts, x_ref[b], Rr)
+
+    @jax.jit
+    def mv(vals, cols, x):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((nb, Rr, 128), x.dtype),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            compiler_params=_BIG_VMEM,
+            interpret=interpret,
+        )(vals, cols, x)
+
+    return mv
+
+
+def make_band_bicgstab_iter(
+    shifts: tuple, R: int, nb: int, interpret: bool = False
+):
+    """ONE batched-BiCGStab iteration for a band-ELL operator as a single
+    kernel — semantics identical to make_ell_bicgstab_iter (== la/krylov
+    bicgstab_batched, M = Jacobi, bc rows via zmask + preseeded x0), with
+    state in RCM-permuted (nb, R, 128) lane tiles.  Driven by
+    ell_bicgstab_from_r0 (rank-agnostic reductions)."""
+
+    def kernel(vals_ref, cols_ref, x_ref, r_ref, p_ref, rhat_ref, zm_ref,
+               invd_ref, rho_ref, rn_ref, it_ref, tol_ref,
+               xo_ref, ro_ref, po_ref, rhoo_ref, rno_ref, ito_ref):
+        invd = invd_ref[:]
+        for b in range(nb):
+            active = rn_ref[b] > tol_ref[b]
+            act = jnp.where(active, 1.0, 0.0).astype(x_ref.dtype)
+            rho = rho_ref[b]
+            r = r_ref[b]
+            p = p_ref[b]
+            rhat = rhat_ref[b]
+            zm = zm_ref[b]
+            phat = invd * p
+            v = zm * _band_mv_val(vals_ref, cols_ref, shifts, phat, R)
+            rv = jnp.sum(rhat * v)
+            alpha = rho / jnp.where(rv != 0, rv, 1.0)
+            s = r - alpha * v
+            shat = invd * s
+            t = zm * _band_mv_val(vals_ref, cols_ref, shifts, shat, R)
+            tt = jnp.sum(t * t)
+            omega = jnp.sum(t * s) / jnp.where(tt != 0, tt, 1.0)
+            xo_ref[b] = x_ref[b] + act * (alpha * phat + omega * shat)
+            r_new = jnp.where(active, s - omega * t, r)
+            ro_ref[b] = r_new
+            rho_new = jnp.where(active, jnp.sum(rhat * r_new), rho)
+            beta = (rho_new / jnp.where(rho != 0, rho, 1.0)) * (
+                alpha / jnp.where(omega != 0, omega, 1.0)
+            )
+            po_ref[b] = jnp.where(active, r_new + beta * (p - omega * v), p)
+            rhoo_ref[b] = rho_new
+            rno_ref[b] = jnp.where(
+                active, jnp.sqrt(jnp.sum(r_new * r_new)), rn_ref[b]
+            )
+            ito_ref[b] = it_ref[b] + active.astype(jnp.int32)
+
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    shape = (nb, R, 128)
+
+    @jax.jit
+    def step(vals, cols, x, r, p, rhat, zmask, invd, rho, rnorm, iters, tol):
+        return pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct(shape, x.dtype),   # x'
+                jax.ShapeDtypeStruct(shape, x.dtype),   # r'
+                jax.ShapeDtypeStruct(shape, x.dtype),   # p'
+                jax.ShapeDtypeStruct((nb,), x.dtype),   # rho'
+                jax.ShapeDtypeStruct((nb,), x.dtype),   # rnorm'
+                jax.ShapeDtypeStruct((nb,), jnp.int32),  # iters'
+            ),
+            in_specs=[vmem()] * 8 + [smem()] * 4,
+            out_specs=(vmem(),) * 3 + (smem(),) * 3,
+            input_output_aliases={2: 0, 3: 1, 4: 2},
+            compiler_params=_BIG_VMEM,
+            interpret=interpret,
+        )(vals, cols, x, r, p, rhat, zmask, invd, rho, rnorm, iters, tol)
+
+    return step
+
+
+def make_band_cg_iter(shifts: tuple, R: int, nb: int, interpret: bool = False):
+    """ONE batched Jacobi-PCG iteration for a band-ELL operator (the mass
+    solves of the velocity update) — semantics == make_ell_cg_iter with
+    (nb, R, 128) state.  Driven by ell_cg_batched_from_r0."""
+
+    def kernel(vals_ref, cols_ref, x_ref, r_ref, p_ref, invd_ref,
+               rz_ref, rn_ref, it_ref, tol_ref,
+               xo_ref, ro_ref, po_ref, rzo_ref, rno_ref, ito_ref):
+        invd = invd_ref[:]
+        for b in range(nb):
+            active = rn_ref[b] > tol_ref[b]
+            rz = rz_ref[b]
+            p = p_ref[b]
+            Ap = _band_mv_val(vals_ref, cols_ref, shifts, p, R)
+            pAp = jnp.sum(p * Ap)
+            alpha = jnp.where(
+                active, rz / jnp.where(pAp != 0, pAp, 1.0), 0.0
+            ).astype(x_ref.dtype)
+            xo_ref[b] = x_ref[b] + alpha * p
+            r_new = r_ref[b] - alpha * Ap
+            ro_ref[b] = r_new
+            z = invd * r_new
+            rz_new = jnp.where(active, jnp.sum(r_new * z), rz)
+            beta = jnp.where(
+                active, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0
+            ).astype(x_ref.dtype)
+            po_ref[b] = jnp.where(active, z + beta * p, p)
+            rzo_ref[b] = rz_new
+            rno_ref[b] = jnp.sqrt(jnp.sum(r_new * r_new))
+            ito_ref[b] = it_ref[b] + active.astype(jnp.int32)
+
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    shape = (nb, R, 128)
+
+    @jax.jit
+    def step(vals, cols, x, r, p, invd, rz, rnorm, iters, tol):
+        return pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct(shape, x.dtype),
+                jax.ShapeDtypeStruct(shape, x.dtype),
+                jax.ShapeDtypeStruct(shape, x.dtype),
+                jax.ShapeDtypeStruct((nb,), x.dtype),
+                jax.ShapeDtypeStruct((nb,), x.dtype),
+                jax.ShapeDtypeStruct((nb,), jnp.int32),
+            ),
+            in_specs=[vmem()] * 6 + [smem()] * 4,
+            out_specs=(vmem(),) * 3 + (smem(),) * 3,
+            input_output_aliases={2: 0, 3: 1, 4: 2},
+            compiler_params=_BIG_VMEM,
+            interpret=interpret,
+        )(vals, cols, x, r, p, invd, rz, rnorm, iters, tol)
+
+    return step

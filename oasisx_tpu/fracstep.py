@@ -324,6 +324,7 @@ class FractionalStep_AB_CN:
         self._build_pallas(options)
         self._build_mg(solver_options)
         self._build_amg(solver_options)
+        self._build_ell_amg()
         self._build_cheb(solver_options)
         self._build_step()
 
@@ -352,6 +353,8 @@ class FractionalStep_AB_CN:
                 if getattr(self, "_pallas_p_mg", False)
                 else "pallas-whole-solve-cheb"
             )
+        elif getattr(self, "_ell_amg", None) is not None:
+            pressure = "pallas-amg-pcg-fused"
         elif getattr(self, "_mg", None) is not None:
             pressure = "mg-pcg"
         elif getattr(self, "_amg_dist", None) is not None:
@@ -385,6 +388,12 @@ class FractionalStep_AB_CN:
                 "pf_ops": g("_pf_div"),
                 "slab_kernels": g("_slab_kernels"),
                 "halo_kernels": g("_halo_kernels"),
+                "ell_single": (
+                    self._ell_single["kind"]
+                    if getattr(self, "_ell_single", None) is not None
+                    else False
+                ),
+                "ell_amg_pcg": g("_ell_amg"),
             },
             "tentative_method": self._solver_u.method,
             "low_memory": self._low_memory,
@@ -610,6 +619,8 @@ class FractionalStep_AB_CN:
         self._slab_kernels = None
         self._halo_kernels = None
         self._ell_tables = None
+        self._ell_single = None
+        self._ell_amg = None
         opts = options or {}
         # NOTE: jax.default_backend() stays 'tpu' inside a
         # jax.default_device(cpu) scope, so probe the actual placement
@@ -626,6 +637,15 @@ class FractionalStep_AB_CN:
             # sharded structured runs: per-shard plane-flat kernels composed
             # with the ppermute halo exchange (VERDICT r2 item 2)
             self._build_pallas_slab(opts, platform)
+            return
+        if (
+            self._cu is None
+            and self._device_mesh is None
+            and getattr(self._ctx, "sq", None) is None
+        ):
+            # single-device unstructured runs (cylinder/vessel-class):
+            # fused one-op-per-iteration ELL Krylov kernels
+            self._build_pallas_ell_single(opts, platform)
             return
         if (
             self._cu is None
@@ -1064,6 +1084,293 @@ class FractionalStep_AB_CN:
         x = gr.halo_refresh(x, tree, deltas, ctx.axis)
         y = self._halo_kernels[kernel_name](vals, cols, x)
         return gr.halo_fold(y, tree, deltas, ctx.axis)
+
+    def _build_pallas_ell_single(self, opts: dict, platform: str) -> None:
+        """Fused one-op-per-iteration Krylov kernels for SINGLE-DEVICE
+        unstructured runs — the cylinder/vessel-class configs that
+        previously ran the XLA gather/einsum/scatter matvec path with
+        ~50 dispatched ops per Krylov iteration.  The global operator is
+        assembled to sparse-kernel form ONCE per solve (one segment-sum,
+        hoisted out of the iteration loop); each BiCGStab/CG iteration —
+        both matvecs, the Jacobi preconditioner, every reduction and
+        vector update — is then ONE Pallas op, and (flat-ELL layout) the
+        pressure PCG fuses the whole AMG V-cycle into its per-iteration
+        kernel (_build_ell_amg).
+
+        Two operator layouts behind one closure interface:
+        - "ell": flat ELL, ``y[r] = sum_k vals[k,r] * x[cols[k,r]]``
+          (pallas_ops.make_ell_*) — needs Mosaic 1D-gather lowering
+          (interpret mode / newer toolchains).
+        - "band": RCM-permuted (R, 128) lane tiles with per-slot static
+          block shifts + within-row lane gathers (assembly/band.py,
+          pallas_ops.make_band_*) — Mosaic-legal on every TPU generation
+          (probed: tpu.dynamic_gather supports 2D take_along_axis only).
+          The permutation is applied inside the solve only.
+
+        The single-device analogue of _build_pallas_halo (which must keep
+        the ppermute halo exchange between kernels) and of the structured
+        whole-solve kernels.  Reference semantics: the PETSc KSP solves,
+        /root/reference/src/oasisx/fracstep.py:508-525,553-658."""
+        interpret = False
+        if platform in ("cpu",):
+            if opts.get("pallas") != "interpret":
+                return
+            interpret = True
+        elif self._dtype != jnp.float32 or not opts.get("pallas", True):
+            return
+        try:
+            from .assembly import pallas_ops as po
+
+            layout = opts.get("ell_layout")
+            if layout is None:
+                layout = "ell"
+                if not interpret:
+                    # probe Mosaic 1D-gather support; fall back to band
+                    try:
+                        pk = po.make_ell_matvec(2, 256, 256)
+                        pv = jnp.ones((2, 256), self._dtype)
+                        pc = jnp.zeros((2, 256), jnp.int32)
+                        px = jnp.ones((256,), self._dtype)
+                        jax.block_until_ready(pk(pv, pc, px))
+                    except Exception as pe:
+                        logger.info(
+                            "flat-ELL kernels unsupported (%s); using "
+                            "band-ELL layout", str(pe).splitlines()[0][:120],
+                        )
+                        layout = "band"
+            if layout == "band":
+                self._ell_single = self._make_band_engine(interpret)
+            else:
+                self._ell_single = self._make_ell_engine(interpret)
+        except Exception as e:  # pragma: no cover - fallback path
+            logger.warning("single-device ELL kernels unavailable: %s", e)
+            self._ell_single = None
+
+    def _make_ell_engine(self, interpret: bool) -> dict:
+        """Flat-ELL fused-kernel engine (see _build_pallas_ell_single)."""
+        from .assembly import pallas_ops as po
+        from .parallel import graph as gr
+
+        ctx = self._ctx
+        d = self._mesh.dim
+        n_v, n_q = ctx.ndofs_v, ctx.ndofs_q
+        cd_v = np.asarray(ctx.cd_v)
+        cd_q = np.asarray(ctx.cd_q)
+        # ndev=1: the "shard" is the whole mesh.  A real cell can never
+        # be all-sentinel (its dofs are distinct), so no rows drop.
+        K_v, slots_v, cols_v = gr.build_ell_tables(cd_v, cd_v, n_v, 1)
+        K_q, slots_q, cols_q = gr.build_ell_tables(cd_q, cd_q, n_q, 1)
+        fbytes = np.dtype(self._dtype).itemsize
+        # VMEM: ELL vals+cols + the iteration kernel's state buffers
+        # (BiCGStab: x/r/p/rhat/zmask in+out ~ 9 (d,n) arrays + invd)
+        need_v = n_v * (K_v * (fbytes + 4) + (9 * d + 1) * fbytes)
+        need_q = n_q * (K_q * (fbytes + 4) + 8 * fbytes)
+        if max(need_v, need_q) > _VMEM_BUDGET:
+            raise ValueError(
+                f"ELL solver state too large for VMEM "
+                f"(v {need_v / 1e6:.1f} MB, q {need_q / 1e6:.1f} MB)"
+            )
+        slots_v = jnp.asarray(slots_v[0])
+        cols_v = jnp.asarray(cols_v[0])
+        slots_q = jnp.asarray(slots_q[0])
+        cols_q = jnp.asarray(cols_q[0])
+        bicg = po.make_ell_bicgstab_iter(K_v, n_v, d, interpret=interpret)
+        cg_v = po.make_ell_cg_iter(K_v, n_v, d, interpret=interpret)
+        mv_v_b = po.make_ell_matvec_batched(K_v, n_v, n_v, d, interpret=interpret)
+        mv_q = po.make_ell_matvec(K_q, n_q, n_q, interpret=interpret)
+
+        def tent_solve(elems, rhs, x0s, zmask, invd, rtol, maxiter, atol):
+            vals = gr.ell_values(elems, slots_v, K_v, n_v)
+            r0 = zmask * (rhs - mv_v_b(vals, cols_v, x0s))
+            bnorm = jnp.sqrt(jnp.sum(rhs * rhs, axis=-1))
+            return po.ell_bicgstab_from_r0(
+                bicg, vals, cols_v, r0, x0s, zmask, invd, bnorm,
+                rtol, maxiter, atol=atol,
+            )
+
+        def mass_solve(elems_M, u, g, dt, invd, rtol, maxiter, atol):
+            vals = gr.ell_values(elems_M, slots_v, K_v, n_v)
+            b3 = mv_v_b(vals, cols_v, u) - dt * g
+            r0 = -dt * g  # x0 = u: r0 = b3 - M u
+            bnorm = jnp.sqrt(jnp.sum(b3 * b3, axis=-1))
+            return po.ell_cg_batched_from_r0(
+                cg_v, vals, cols_v, r0, u, invd, bnorm, rtol, maxiter,
+                atol=atol,
+            )
+
+        def q_matvec(elems):
+            vals = gr.ell_values(elems, slots_q, K_q, n_q)
+            return lambda x: mv_q(vals, cols_q, x), vals
+
+        logger.info(
+            "single-device ELL kernels enabled (flat layout, K_v=%d K_q=%d "
+            "n_v=%d n_q=%d, interpret=%s)", K_v, K_q, n_v, n_q, interpret,
+        )
+        return dict(
+            kind="ell", interpret=interpret,
+            K_q=K_q, cols_q=cols_q,
+            tent_solve=tent_solve, mass_solve=mass_solve, q_matvec=q_matvec,
+        )
+
+    def _make_band_engine(self, interpret: bool) -> dict:
+        """Band-ELL fused-kernel engine: RCM-permuted (R, 128) lane tiles,
+        static block shifts + lane gathers (assembly/band.py) — the layout
+        Mosaic lowers on every TPU generation."""
+        from .assembly import band as bd
+        from .assembly import pallas_ops as po
+
+        ctx = self._ctx
+        d = self._mesh.dim
+        n_v, n_q = ctx.ndofs_v, ctx.ndofs_q
+        cd_v = np.asarray(ctx.cd_v)
+        cd_q = np.asarray(ctx.cd_q)
+
+        def edges(cd):
+            nd = cd.shape[1]
+            r = np.repeat(cd, nd, axis=1).reshape(-1)
+            c = np.tile(cd, (1, nd)).reshape(-1)
+            return r, c
+
+        perm_v = bd.rcm_permutation(*edges(cd_v), n_v)
+        perm_q = bd.rcm_permutation(*edges(cd_q), n_q)
+        sh_v, slots_v, cols_v, R_v, _ = bd.build_band_tables(
+            cd_v, cd_v, n_v, n_v, perm_v
+        )
+        sh_q, slots_q, cols_q, R_q, _ = bd.build_band_tables(
+            cd_q, cd_q, n_q, n_q, perm_q
+        )
+        fbytes = np.dtype(self._dtype).itemsize
+        need_v = R_v * 128 * (len(sh_v) * (fbytes + 4) + (9 * d + 1) * fbytes)
+        need_q = R_q * 128 * (len(sh_q) * (fbytes + 4) + 8 * fbytes)
+        if max(need_v, need_q) > _VMEM_BUDGET:
+            raise ValueError(
+                f"band-ELL solver state too large for VMEM "
+                f"(v {need_v / 1e6:.1f} MB, q {need_q / 1e6:.1f} MB)"
+            )
+        S_v, S_q = len(sh_v), len(sh_q)
+        slots_v = jnp.asarray(slots_v)
+        cols_v = jnp.asarray(cols_v)
+        slots_q = jnp.asarray(slots_q)
+        cols_q = jnp.asarray(cols_q)
+        perm_v_j = jnp.asarray(perm_v.astype(np.int32))
+        iperm_v_j = jnp.asarray(np.argsort(perm_v).astype(np.int32))
+        perm_q_j = jnp.asarray(perm_q.astype(np.int32))
+        iperm_q_j = jnp.asarray(np.argsort(perm_q).astype(np.int32))
+        bicg = po.make_band_bicgstab_iter(sh_v, R_v, d, interpret=interpret)
+        cg_v = po.make_band_cg_iter(sh_v, R_v, d, interpret=interpret)
+        mv_v_b = po.make_band_matvec_batched(sh_v, R_v, R_v, d, interpret=interpret)
+        mv_q1 = po.make_band_matvec_batched(sh_q, R_q, R_q, 1, interpret=interpret)
+
+        def to_b(x, perm, R, fill=0.0):
+            xp = x[..., perm]
+            pad = [(0, 0)] * (x.ndim - 1) + [(0, R * 128 - xp.shape[-1])]
+            xp = jnp.pad(xp, pad, constant_values=fill)
+            return xp.reshape(x.shape[:-1] + (R, 128))
+
+        def from_b(xb, iperm, n):
+            return xb.reshape(xb.shape[:-2] + (-1,))[..., :n][..., iperm]
+
+        def tent_solve(elems, rhs, x0s, zmask, invd, rtol, maxiter, atol):
+            vals = bd.band_values(elems, slots_v, S_v, R_v)
+            rhs_b = to_b(rhs, perm_v_j, R_v)
+            x0_b = to_b(x0s, perm_v_j, R_v)
+            zm_b = to_b(zmask, perm_v_j, R_v)
+            invd_b = to_b(invd, perm_v_j, R_v, fill=1.0)
+            r0 = zm_b * (rhs_b - mv_v_b(vals, cols_v, x0_b))
+            bnorm = jnp.sqrt(jnp.sum(rhs_b * rhs_b, axis=(-2, -1)))
+            x_b, it, rn, cv = po.ell_bicgstab_from_r0(
+                bicg, vals, cols_v, r0, x0_b, zm_b, invd_b, bnorm,
+                rtol, maxiter, atol=atol,
+            )
+            return from_b(x_b, iperm_v_j, n_v), it, rn, cv
+
+        def mass_solve(elems_M, u, g, dt, invd, rtol, maxiter, atol):
+            vals = bd.band_values(elems_M, slots_v, S_v, R_v)
+            u_b = to_b(u, perm_v_j, R_v)
+            g_b = to_b(g, perm_v_j, R_v)
+            invd_b = to_b(invd, perm_v_j, R_v, fill=1.0)
+            b3 = mv_v_b(vals, cols_v, u_b) - dt * g_b
+            r0 = -dt * g_b  # x0 = u: r0 = b3 - M u
+            bnorm = jnp.sqrt(jnp.sum(b3 * b3, axis=(-2, -1)))
+            x_b, it, rn, cv = po.ell_cg_batched_from_r0(
+                cg_v, vals, cols_v, r0, u_b, invd_b, bnorm, rtol, maxiter,
+                atol=atol,
+            )
+            return from_b(x_b, iperm_v_j, n_v), it, rn, cv
+
+        def q_matvec(elems):
+            vals = bd.band_values(elems, slots_q, S_q, R_q)
+
+            def mv(x):
+                xb = to_b(x[None], perm_q_j, R_q)
+                return from_b(mv_q1(vals, cols_q, xb), iperm_q_j, n_q)[0]
+
+            return mv, vals
+
+        logger.info(
+            "single-device band-ELL kernels enabled (S_v=%d S_q=%d R_v=%d "
+            "R_q=%d shifts_v=%s, interpret=%s)",
+            S_v, S_q, R_v, R_q, sorted(set(sh_v)), interpret,
+        )
+        return dict(
+            kind="band", interpret=interpret,
+            tent_solve=tent_solve, mass_solve=mass_solve, q_matvec=q_matvec,
+        )
+
+    def _build_ell_amg(self) -> None:
+        """Fuse the AMG-preconditioned pressure PCG into one kernel per
+        iteration (pallas_ops.make_ell_pcg_amg_iter): the fine ELL matvec,
+        the whole smoothed-aggregation V-cycle (every level's smoothing,
+        transfer and the dense coarsest solve), and the CG updates run as
+        a single Pallas op — the unstructured counterpart of the
+        structured whole-solve pressure kernel.  Requires the
+        single-device ELL kernel family and a constructed AlgebraicMG;
+        falls back to the XLA AMG-PCG when the level tables exceed VMEM.
+        Reference: the MUMPS-grade pressure solve,
+        /root/reference/src/oasisx/fracstep.py:553-605."""
+        self._ell_amg = None
+        es = getattr(self, "_ell_single", None)
+        if es is None or getattr(self, "_amg", None) is None:
+            return
+        if es.get("kind") != "ell":
+            # band layout: the in-kernel V-cycle's flat gathers don't
+            # lower on this hardware; the XLA AMG apply composes with the
+            # band matvec instead (band AMG fusion is a separate kernel
+            # family, see pallas_ops.make_band_*)
+            return
+        try:
+            from .assembly import pallas_ops as po
+
+            meta, arrays = po.amg_kernel_data(self._amg)
+            n_q = self._ctx.ndofs_q
+            # VMEM: level tables + fine vals0/cols0 + CG state (~10 fine
+            # vectors incl. V-cycle per-level scratch, levels sum ~1.5n)
+            need = (
+                po.amg_data_bytes(meta, arrays)
+                + n_q * (es["K_q"] * 8 + 14 * 4)
+            )
+            if need > _VMEM_BUDGET:
+                raise ValueError(
+                    f"AMG level tables too large for VMEM ({need / 1e6:.1f} MB)"
+                )
+            self._ell_amg = dict(
+                meta=meta,
+                arrays=arrays,
+                iter=po.make_ell_pcg_amg_iter(
+                    meta, es["K_q"], n_q, has_mask=self._have_pbc,
+                    interpret=es["interpret"],
+                ),
+                vcycle=po.make_ell_vcycle(meta, n_q, interpret=es["interpret"]),
+            )
+            logger.info(
+                "fused AMG-PCG pressure kernel enabled (%d levels, "
+                "coarse n=%d, %.1f MB tables)",
+                len(meta["levels"]), meta["coarse_n"],
+                po.amg_data_bytes(meta, arrays) / 1e6,
+            )
+        except Exception as e:  # pragma: no cover - fallback path
+            logger.warning("fused AMG-PCG kernel unavailable: %s", e)
+            self._ell_amg = None
 
     def _build_amg(self, solver_options: dict | None) -> None:
         """Smoothed-aggregation AMG preconditioner (la/amg.py) for the
@@ -1964,6 +2271,30 @@ class FractionalStep_AB_CN:
         # halo/pad slots are zero, so local dots are partial sums).
         ctx = P["ctx"]
         hax = self._axis if self._hx_v is not None else None
+        if self._ell_single is not None and s.method == "bcgs":
+            # fused single-device unstructured path: ONE Pallas op per
+            # BiCGStab iteration (all d components, both sparse matvecs,
+            # Jacobi preconditioner, reductions).  bc rows are handled by
+            # pre-seeding x0 with the bc values and zero-masking every
+            # Krylov vector there — semantically identical to the identity
+            # rows of the XLA path (cf. the structured fused branch).
+            from .la.krylov import _effective_rtol
+
+            es = self._ell_single
+            masks = P["bc_masks"]
+            zmask = jnp.where(masks, 0.0, 1.0).astype(rhs1.dtype)
+            rhs = jnp.where(masks, bc_vals, rhs1)
+            x0s = jnp.where(masks, bc_vals, x0)
+            dfull = self._tentative_diag(P, A_lhs)
+            invd = jnp.where(
+                dfull != 0, 1.0 / jnp.where(dfull != 0, dfull, 1.0), 1.0
+            )
+            rtol = _effective_rtol(s.rtol, np.dtype(self._dtype))
+            x, iters, rnorm, conv = es["tent_solve"](
+                A_lhs, rhs, x0s, zmask, invd, rtol, int(s.maxiter), s.atol
+            )
+            diff = jnp.sum(jnp.sqrt(jnp.sum((x - u) ** 2, axis=-1)))
+            return x, diff, iters, conv
         if self._halo_kernels is not None and s.method in ("cg", "bcgs"):
             # per-shard ELL kernel path (VERDICT r3 #4): the local operator
             # is assembled to ELL form ONCE per solve; each batched Krylov
@@ -2105,6 +2436,20 @@ class FractionalStep_AB_CN:
                 )
             else:
                 matvec = mv_q
+        elif self._ell_single is not None:
+            # single-device unstructured: ONE sparse kernel per operator
+            # application (used for r0 and by the AMG/Chebyshev V-cycle
+            # fallbacks; the flat-ELL AMG-PCG loop below fuses matvec +
+            # V-cycle + CG updates into one op per iteration)
+            es = self._ell_single
+            mv_q1, vals_q1 = es["q_matvec"](P["Ap"])
+            if self._have_pbc:
+                mask = P["pbc_mask"]
+                matvec = lambda x: jnp.where(
+                    mask, x, mv_q1(jnp.where(mask, 0.0, x))
+                )
+            else:
+                matvec = mv_q1
         elif self._have_pbc:
             matvec = lambda x: eng.bc_symmetric_matvec(ctx, P["Ap"], P["pbc_mask"], x, eng.matvec_q)
         else:
@@ -2129,8 +2474,24 @@ class FractionalStep_AB_CN:
             M = jacobi_preconditioner(P["Ap_diag"])
         hax = self._axis if self._hx_q is not None else None
         if self._have_pbc:
-            res = cg(matvec, b2, x0=dp0, M=M, rtol=s.rtol, atol=s.atol,
-                     maxiter=s.maxiter, axis=hax)
+            if getattr(self, "_ell_amg", None) is not None:
+                # fused AMG-PCG: fine ELL matvec (outlet-mask wrapped),
+                # whole V-cycle and CG updates in ONE kernel per iteration
+                from .assembly import pallas_ops as po
+                from .la.krylov import KrylovResult, _effective_rtol
+
+                ea, es = self._ell_amg, self._ell_single
+                rtol = _effective_rtol(s.rtol, np.dtype(self._dtype))
+                xp, itp, rp, cp = po.ell_pcg_amg_solve(
+                    ea["iter"], ea["vcycle"], matvec, ea["arrays"],
+                    vals_q1, es["cols_q"], b2, dp0, rtol,
+                    int(s.maxiter), atol=s.atol,
+                    mask=P["pbc_mask"].astype(b2.dtype),
+                )
+                res = KrylovResult(xp, itp, rp, cp)
+            else:
+                res = cg(matvec, b2, x0=dp0, M=M, rtol=s.rtol, atol=s.atol,
+                         maxiter=s.maxiter, axis=hax)
             dp = res.x
         else:
             nv = P["q_null"]
@@ -2147,6 +2508,21 @@ class FractionalStep_AB_CN:
                 from .la.krylov import KrylovResult
 
                 xp, itp, rp, cp = self._pallas_p(b2, x0p)
+                res = KrylovResult(xp, itp, rp, cp)
+            elif getattr(self, "_ell_amg", None) is not None:
+                # fused AMG-PCG with in-kernel nullspace projection —
+                # the singular pure-Neumann pressure Poisson
+                from .assembly import pallas_ops as po
+                from .la.krylov import KrylovResult, _effective_rtol
+
+                ea, es = self._ell_amg, self._ell_single
+                rtol = _effective_rtol(s.rtol, np.dtype(self._dtype))
+                nv_f = nv if nv is not None else jnp.ones_like(b2)
+                xp, itp, rp, cp = po.ell_pcg_amg_solve(
+                    ea["iter"], ea["vcycle"], matvec, ea["arrays"],
+                    vals_q1, es["cols_q"], b2, x0p, rtol,
+                    int(s.maxiter), atol=s.atol, nullvec=nv_f,
+                )
                 res = KrylovResult(xp, itp, rp, cp)
             else:
                 res = cg(
@@ -2172,6 +2548,8 @@ class FractionalStep_AB_CN:
             if self._halo_kernels is not None:
                 vals_mq = self._ell_vals(P, P["Mq"], "q")
                 mq_mv = lambda x: self._halo_apply(P, ctx, "mv_q", vals_mq, x, "q")
+            elif self._ell_single is not None:
+                mq_mv, _ = self._ell_single["q_matvec"](P["Mq"])
             else:
                 mq_mv = lambda x: eng.matvec_q(ctx, P["Mq"], x)
             mq_diag = eng.diagonal_q(ctx, P["Mq"])
@@ -2309,6 +2687,21 @@ class FractionalStep_AB_CN:
         M = jacobi_preconditioner(P["M_diag"])
         sc = self._solver_c
         hax = self._axis if self._hx_v is not None else None
+        if self._ell_single is not None:
+            # fused batched mass CG: ONE Pallas op per iteration for all d
+            # components.  x0 = u makes the initial residual exactly
+            # -dt*grad (r0 = b3 - M u = (M u - dt g) - M u), so only the
+            # bnorm matvec is needed up front.
+            from .la.krylov import _effective_rtol
+
+            es = self._ell_single
+            md = P["M_diag"]
+            invd = jnp.where(md != 0, 1.0 / jnp.where(md != 0, md, 1.0), 1.0)
+            rtol = _effective_rtol(sc.rtol, np.dtype(self._dtype))
+            x, iters, rnorm, conv = es["mass_solve"](
+                P["M"], u, g, dt, invd, rtol, int(sc.maxiter), sc.atol
+            )
+            return x, iters, conv
         if self._halo_kernels is not None:
             # batched mass CG with the shared ELL operator: one kernel per
             # iteration for all d components
