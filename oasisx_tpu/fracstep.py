@@ -317,6 +317,9 @@ class FractionalStep_AB_CN:
 
         options = options or {}
         self._low_memory = bool(options.get("low_memory_version", True))
+        # run()-window bound; "auto" caps fused-ELL TPU runs at 500 steps
+        # per device execution (docs/tpu_architecture.md: relay stability)
+        self._scan_window_opt = options.get("scan_window", "auto")
 
         self._body_force = body_force
         self._compile_and_allocate_forms()
@@ -3026,6 +3029,15 @@ class FractionalStep_AB_CN:
                 rows[i].append(np.asarray(h))
         return [jnp.asarray(np.stack(r), dtype=self._dtype) for r in rows]
 
+    def _run_window_bound(self):
+        """Max steps per device execution in :meth:`run` (None = no bound)."""
+        w = self._scan_window_opt
+        if w != "auto":
+            return None if w in (None, 0) else int(w)
+        if self._ell_single is not None and jax.default_backend() == "tpu":
+            return 500
+        return None
+
     def run(
         self,
         num_steps: int,
@@ -3053,7 +3065,35 @@ class FractionalStep_AB_CN:
         energy/dissipation monitors, with no host round-trips.  ``t0`` is
         the time at the start of the window (the callback sees the time at
         the END of each step).
+
+        Long windows are transparently split into device executions of at
+        most ``options={"scan_window": n}`` steps (default "auto": 500 on
+        the fused-ELL TPU path, unbounded otherwise — the relay worker is
+        unstable on very long single executions of those kernels, see
+        docs/tpu_architecture.md); per-step stats are concatenated so the
+        caller sees one (num_steps, ...) result either way.
         """
+        W = self._run_window_bound()
+        if W is not None and num_steps > int(W):
+            W = int(W)
+            stats_all, done = [], 0
+            while done < num_steps:
+                n = min(W, num_steps - done)
+                self.run(
+                    n, dt, nu, max_error, max_iter,
+                    None if bc_vals_seq is None else bc_vals_seq[done : done + n],
+                    None
+                    if h_qvals_seq is None
+                    else [h[done : done + n] for h in h_qvals_seq],
+                    step_callback,
+                    t0 + done * dt,
+                )
+                stats_all.append(self.last_stats)
+                done += n
+            self.last_stats = {
+                k: np.concatenate([s[k] for s in stats_all]) for k in stats_all[0]
+            }
+            return self.last_stats
         state = self._state_from_functions()
         bc_vals = self._bc_value_arrays()
         h_qvals = self._h_qvals()

@@ -88,3 +88,34 @@ def test_solve_then_run_mix():
     b.run(2, dt, nu, max_iter=1)
     for x, y in zip(_snapshot(a), _snapshot(b)):
         np.testing.assert_array_equal(x, y)
+
+
+def test_scan_window_bound_matches_unbounded():
+    """options={"scan_window": n} transparently splits a long run() into
+    n-step device executions (relay stability bound, docs/
+    tpu_architecture.md): identical state trajectory, per-step stats
+    concatenated to the same (num_steps, ...) shapes, callback and
+    bc_vals_seq windows sliced correctly."""
+    import jax.numpy as jnp
+
+    dt, nu = 0.01, 0.05
+    a = _fresh(dt=dt)
+    b = _fresh(dt=dt)
+    a._scan_window_opt = 2  # == options={"scan_window": 2}
+    assert a._run_window_bound() == 2
+
+    cb = lambda st, t: jnp.stack([jnp.sum(st["u"][0]), t])
+    bc_seq = np.stack([a._bc_value_arrays()] * 5)
+    sa = a.run(5, dt, nu, max_iter=1, step_callback=cb, bc_vals_seq=bc_seq)
+    sb = b.run(5, dt, nu, max_iter=1, step_callback=cb, bc_vals_seq=bc_seq)
+    # different scan lengths fuse slightly differently once the callback/
+    # seq outputs are present: equality holds to machine eps, not bitwise
+    for x, y in zip(_snapshot(a), _snapshot(b)):
+        np.testing.assert_allclose(x, y, rtol=0, atol=1e-12)
+    assert set(sa) == set(sb)
+    for k in sb:
+        assert sa[k].shape == sb[k].shape, k
+        if not np.issubdtype(sa[k].dtype, np.floating):
+            np.testing.assert_array_equal(sa[k], sb[k])
+    # callback saw the same times in both (t0 advanced per window)
+    np.testing.assert_allclose(sa["callback"][:, 1], dt * np.arange(1, 6), rtol=1e-6)
