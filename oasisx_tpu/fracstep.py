@@ -331,6 +331,18 @@ class FractionalStep_AB_CN:
         self._build_cheb(solver_options)
         self._build_step()
 
+        # lumped (diagonal) velocity update: single-device only for now —
+        # the sharded layouts keep the CG update
+        self._lumped_update = self._solver_c.lumped and not (
+            self._slab is not None or self._hx_v is not None
+            or getattr(self, "_axis", None) is not None
+        )
+        if self._solver_c.lumped and not self._lumped_update:
+            logger.info(
+                "lumped velocity update is not available under sharding; "
+                "using the %s mass solve", self._solver_c.method,
+            )
+
         self._A_elems = None  # set by assemble_first (split-phase API)
         self.last_stats: dict = {}
         logger.info("active paths: %s", self.config_report())
@@ -372,6 +384,10 @@ class FractionalStep_AB_CN:
         return {
             "sharding": mode,
             "structured_fastpath": self._cu is not None,
+            "velocity_update": (
+                "lumped" if getattr(self, "_lumped_update", False)
+                else self._solver_c.method
+            ),
             "pressure_pc": pressure,
             "pressure_mg_levels": (
                 self._mg.num_levels
@@ -2611,6 +2627,38 @@ class FractionalStep_AB_CN:
             )
             return res.x, res.iters, res.converged
         ctx = P["ctx"]
+        if self._lumped_update:
+            # HRZ-lumped mass velocity update (pc_type "lumped"): on affine
+            # simplices every element's HRZ diagonal is |J|*diag(Mref) *
+            # (sum(Mref)/trace(Mref)), so globally m_l = c*diag(M) with the
+            # single constant c — positive for every P (row-sum lumping is
+            # NOT: P2 vertex row sums vanish) and mass-conserving
+            # (sum(m_l) = volume).  u_new = u - dt * m_l^{-1} grad dp.
+            # Reference parity: the LumpedProject stub, function.py:146-153;
+            # BC re-application intentionally skipped exactly like the CG
+            # update (reference fracstep.py:624-631).
+            if self._pf_grad_G is not None:
+                from .assembly import pallas_ops as po
+
+                g = po.from_planeflat(
+                    self._pf_grad_G(po.to_planeflat(dp, ctx.sq)), ctx.sv
+                )
+            elif self._low_memory:
+                g = eng.grad_p_vecs(ctx, dp)
+            else:
+                g = jnp.stack(
+                    [eng.matvec_vq(ctx, P["grad_p"][i], dp)
+                     for i in range(self._mesh.dim)]
+                )
+            c = jnp.sum(ctx.mass_ref) / jnp.trace(ctx.mass_ref)
+            md = P["M_diag"]
+            invml = jnp.where(md != 0, 1.0 / (c * jnp.where(md != 0, md, 1.0)), 0.0)
+            d = self._mesh.dim
+            return (
+                u - dt * g * invml[None],
+                jnp.zeros(d, jnp.int32),
+                jnp.ones(d, bool),
+            )
         if self._pf_cg_mass is not None:
             # batched one-op-per-iteration mass CG; x0 = u makes the init
             # residual exactly -dt*grad so no extra mass matvec is needed:
