@@ -95,13 +95,16 @@ def build_solver(N, dtype, device_mesh=None, rtol=1e-5):
         [DirichletBC(f, LocatorMethod.TOPOLOGICAL, (tags, 1))] for f in (ux, uy, uz)
     ]
     opts = {"ksp_rtol": rtol, "ksp_max_it": 2000}
+    scalar_opts = dict(opts)
+    if os.environ.get("BENCH_SCALAR_PC"):  # e.g. "lumped" (HRZ mass update)
+        scalar_opts["pc_type"] = os.environ["BENCH_SCALAR_PC"]
     solver = FractionalStep_AB_CN(
         mesh,
         ("Lagrange", 2),
         ("Lagrange", 1),
         bcs_u=bcs_u,
         bcs_p=[],
-        solver_options={"tentative": dict(opts), "pressure": dict(opts), "scalar": dict(opts)},
+        solver_options={"tentative": dict(opts), "pressure": dict(opts), "scalar": scalar_opts},
         options={
             "low_memory_version": os.environ.get("BENCH_LOW_MEMORY", "0") == "1",
         },

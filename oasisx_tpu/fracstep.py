@@ -395,7 +395,7 @@ class FractionalStep_AB_CN:
                 else (
                     self._amg.num_levels
                     if getattr(self, "_amg", None) is not None
-                    else 0
+                    else getattr(self, "_pallas_p_mg_levels", 0)
                 )
             ),
             "pallas": {
@@ -733,6 +733,9 @@ class FractionalStep_AB_CN:
                 interpret=interp,
             )
             self._pallas_p_mg = mg_data is not None
+            self._pallas_p_mg_levels = (
+                len(mg_data["levels"]) if mg_data is not None else 0
+            )
             if mg_data is not None:
                 logger.info(
                     "pallas pressure solve enabled (geometric MG V-cycle, "
