@@ -96,7 +96,7 @@ def build_solver(N, dtype, device_mesh=None, rtol=1e-5):
     ]
     opts = {"ksp_rtol": rtol, "ksp_max_it": 2000}
     scalar_opts = dict(opts)
-    if os.environ.get("BENCH_SCALAR_PC"):  # e.g. "lumped" (HRZ mass update)
+    if os.environ.get("BENCH_SCALAR_PC"):  # e.g. "lumped" (weighted-gradient update)
         scalar_opts["pc_type"] = os.environ["BENCH_SCALAR_PC"]
     solver = FractionalStep_AB_CN(
         mesh,

@@ -371,6 +371,31 @@ def grad_p_vecs(ctx: DeviceContext, dp: jax.Array) -> jax.Array:
     )
 
 
+def weighted_nodal_grad_p(
+    ctx: DeviceContext, dp: jax.Array, gtab: jax.Array
+) -> jax.Array:
+    """Mass-weighted nodal gradient of a Q-field at the V nodes: (d, ndofs_v).
+
+    num_i = sum_{cells c ∋ i} detJ_c * Mref_jj * (grad dp)|_c(x_j); dividing
+    by diag(M) (= the same sum of weights) gives a convex combination of the
+    per-cell gradients evaluated AT each velocity node — the pointwise-
+    consistent "weighted gradient" the lumped velocity update needs.  (A
+    plain lumped solve diag(M)^{-1} (G dp) is inconsistent for P2: vertex
+    row sums of M vanish on triangles / go negative on tets, so vertex dofs
+    would receive an O(1)-wrong gradient.)  ``gtab``: reference gradients of
+    the Q basis tabulated at the V reference nodes, (ndv, d, ndq).
+    """
+    pe = gather_q(ctx, dp)  # (nc, m)
+    r = jnp.einsum("jbm,cm->cjb", gtab, pe)  # ref-grad of dp at V nodes
+    w = ctx.detJ[:, None] * jnp.diagonal(ctx.mass_ref)[None]  # (nc, j)
+    return jnp.stack(
+        [
+            scatter_v(ctx, w * jnp.einsum("cb,cjb->cj", ctx.Kinv[:, :, g], r))
+            for g in range(ctx.dim)
+        ]
+    )
+
+
 def constant_load_vec(ctx: DeviceContext, f: jax.Array) -> jax.Array:
     """assemble(f * v dx) for constant scalar f: (ndofs_v,) (fracstep.py:289)."""
     ve = f * ctx.detJ[:, None] * ctx.load_ref[None, :]

@@ -342,6 +342,13 @@ class FractionalStep_AB_CN:
                 "lumped velocity update is not available under sharding; "
                 "using the %s mass solve", self._solver_c.method,
             )
+        if self._lumped_update:
+            # Q-basis reference gradients at the V reference nodes, for the
+            # weighted-gradient update (engine.weighted_nodal_grad_p)
+            self._lumped_gtab = jnp.asarray(
+                self._Q.element.tabulate(self._V.element.nodes)[1],
+                dtype=self._dtype,
+            )
 
         self._A_elems = None  # set by assemble_first (split-phase API)
         self.last_stats: dict = {}
@@ -2631,34 +2638,25 @@ class FractionalStep_AB_CN:
             return res.x, res.iters, res.converged
         ctx = P["ctx"]
         if self._lumped_update:
-            # HRZ-lumped mass velocity update (pc_type "lumped"): on affine
-            # simplices every element's HRZ diagonal is |J|*diag(Mref) *
-            # (sum(Mref)/trace(Mref)), so globally m_l = c*diag(M) with the
-            # single constant c — positive for every P (row-sum lumping is
-            # NOT: P2 vertex row sums vanish) and mass-conserving
-            # (sum(m_l) = volume).  u_new = u - dt * m_l^{-1} grad dp.
-            # Reference parity: the LumpedProject stub, function.py:146-153;
-            # BC re-application intentionally skipped exactly like the CG
-            # update (reference fracstep.py:624-631).
-            if self._pf_grad_G is not None:
-                from .assembly import pallas_ops as po
-
-                g = po.from_planeflat(
-                    self._pf_grad_G(po.to_planeflat(dp, ctx.sq)), ctx.sv
-                )
-            elif self._low_memory:
-                g = eng.grad_p_vecs(ctx, dp)
-            else:
-                g = jnp.stack(
-                    [eng.matvec_vq(ctx, P["grad_p"][i], dp)
-                     for i in range(self._mesh.dim)]
-                )
-            c = jnp.sum(ctx.mass_ref) / jnp.trace(ctx.mass_ref)
+            # Lumped (weighted-gradient) velocity update (pc_type "lumped"):
+            # u_new = u - dt * diag(M)^{-1} * G_w dp, where G_w assembles the
+            # diag(M)-weighted per-cell gradients of dp EVALUATED AT the
+            # velocity nodes, so each dof receives a convex combination of
+            # nodal gradient samples — pointwise consistent for every degree.
+            # (Dividing the Galerkin action G dp by a lumped mass is NOT: P2
+            # vertex row sums of M vanish on triangles / go negative on tets,
+            # which injects an O(1)-wrong boundary-layer gradient each step
+            # and diverges within ~50 steps at TGV settings.)  This is the
+            # classic Oasis weighted-gradient update; reference parity: the
+            # LumpedProject stub, function.py:146-153.  BC re-application is
+            # intentionally skipped exactly like the CG update (reference
+            # fracstep.py:624-631).
+            num = eng.weighted_nodal_grad_p(ctx, dp, self._lumped_gtab)
             md = P["M_diag"]
-            invml = jnp.where(md != 0, 1.0 / (c * jnp.where(md != 0, md, 1.0)), 0.0)
+            inv = jnp.where(md > 0, 1.0 / jnp.where(md > 0, md, 1.0), 0.0)
             d = self._mesh.dim
             return (
-                u - dt * g * invml[None],
+                u - dt * num * inv[None],
                 jnp.zeros(d, jnp.int32),
                 jnp.ones(d, bool),
             )

@@ -10,9 +10,10 @@ and translated:
               accepted and mapped to the family default with a logged
               note, matching the reference's accept-anything options DB)
     pc_type:  jacobi | none | lu                (lu -> tight Krylov, SURVEY §4)
-              | lumped (velocity-update family only: HRZ-lumped mass
-                diagonal solve instead of CG — the classic Oasis
-                "lumped projection" the reference declares via its
+              | lumped (velocity-update family only: weighted-gradient
+                lumped update instead of CG — a mass-weighted average of
+                per-cell gradients at each velocity node; the classic
+                Oasis lumped projection the reference declares via its
                 LumpedProject stub, function.py:146-153)
     ksp_rtol / ksp_atol / ksp_max_it
     ksp_error_if_not_converged
@@ -86,7 +87,7 @@ class KSPSolver:
 
     @property
     def lumped(self) -> bool:
-        """Diagonal (HRZ-lumped mass) solve instead of a Krylov iteration
+        """Lumped (weighted-gradient) update instead of a Krylov iteration
         — only meaningful for consistent-mass solves (velocity update)."""
         return (
             str(self.options.get("pc_type", "")).lower() == "lumped"

@@ -1,6 +1,15 @@
-"""Lumped (HRZ) mass velocity update — pc_type "lumped" on the scalar
-solve family (the classic Oasis lumped projection; the reference declares
-the API via its LumpedProject stub, /root/reference/src/oasisx/function.py:146-153).
+"""Lumped (weighted-gradient) velocity update — pc_type "lumped" on the
+scalar solve family (the classic Oasis lumped projection; the reference
+declares the API via its LumpedProject stub,
+/root/reference/src/oasisx/function.py:146-153).
+
+The update is u -= dt * diag(M)^{-1} * G_w dp with G_w the diag(M)-weighted
+per-cell gradients of dp evaluated AT the velocity nodes (a convex
+combination of nodal gradient samples — pointwise consistent for every
+degree).  Dividing the plain Galerkin action G dp by a lumped mass is NOT
+consistent for P2 (vertex row sums of M vanish on triangles / go negative
+on tets) and diverges within ~50 TGV steps — the long-horizon test below
+pins the fix.
 
 Pinned contracts:
 - the HRZ lumped vector c*diag(M) is positive for P2/P3 (row-sum lumping
@@ -8,7 +17,7 @@ Pinned contracts:
   domain volume);
 - a lumped-update run stays close to the consistent-mass CG run (the
   lumping error is a discretization-order perturbation) and reports
-  c_iters == 0 / converged;
+  c_iters == 0 / converged, and stays bounded over long horizons;
 - config_report()["velocity_update"] surfaces the active choice.
 """
 
@@ -96,6 +105,23 @@ def test_lumped_update_runs_and_matches_consistent():
     # fields agree to ~1% at this resolution, and are NOT identical
     assert np.abs(ua - ub).max() < 2e-2 * scale
     assert np.abs(ua - ub).max() > 0
+
+
+def test_lumped_update_long_horizon_stable():
+    """150 decaying-TGV steps: the lumped run must track the consistent-CG
+    run (the inconsistent diag-solve variant diverges to ~1e5 by step 50)."""
+    dt, nu, N = 2e-3, 1.0 / 1600.0, 8
+    a = _solver(N, nu, dt, {"pc_type": "lumped"})
+    b = _solver(N, nu, dt, {})
+    sa = a.run(150, dt, nu, max_iter=1)
+    b.run(150, dt, nu, max_iter=1)
+    assert (sa["c_iters"] == 0).all() and sa["c_converged"].all()
+    ua = np.asarray(a._u[0].x.array)
+    ub = np.asarray(b._u[0].x.array)
+    assert np.isfinite(ua).all()
+    scale = np.abs(ub).max()
+    assert np.abs(ua).max() < 2 * scale
+    assert np.abs(ua - ub).max() < 2e-2 * scale
 
 
 def test_lumped_alias_key():
