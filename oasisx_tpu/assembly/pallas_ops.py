@@ -1006,6 +1006,55 @@ def build_w_win(W: jax.Array, sm: StructuredMap) -> jax.Array:
     )
 
 
+def w_win_mask(sm: StructuredMap) -> np.ndarray:
+    """(c0p, WLp) 0/1 mask of the valid (non-seam, non-pad) positions of a
+    windowed weight array — the positions ``build_w_win`` fills with real
+    per-cube values."""
+    cells = sm[1]
+    c0p, WLp, WL = _c0_padded(sm), _wl_padded(sm), win_len(sm)
+    m = np.zeros((c0p, WLp))
+    if len(cells) == 2:
+        m[: cells[0], :WL] = 1.0
+    else:
+        m[: cells[0], :WL] = _seam_mask(sm)[None, :]
+    return m
+
+
+def build_w_win_from_u(T, A0, U, sm: StructuredMap):
+    """W_win built DIRECTLY in the windowed (nl², c0p, WLp) layout:
+
+        W_win = valid_mask ⊙ (A0 ⊕ 0.5 · T·U)
+
+    Equivalent to ``build_w_win((A0.reshape(-1, 1) + 0.5 * Wc).reshape(
+    nl, nl, -1), sm)`` with ``Wc = T·U``, but the seam/pad relayout is
+    applied to the small per-slot source ``U`` (d·nl rows — nl× smaller
+    than W), so the big nl²-row array is written exactly ONCE by the MXU
+    contraction with the A0 broadcast-add fused as its epilogue.  The
+    chain it replaces (einsum → combine → pad/reshape/slice) materializes
+    the nl²-sized array three times with strided minor-dim writes —
+    measured ~5-6 ms/step at N=36 vs <1 ms for this form.  Seam and pad
+    positions are exact zeros: the padded source columns are zero and
+    T·0 = 0, and the A0 term is masked."""
+    cells = sm[1]
+    tnl = U.shape[0]
+    c0p, WLp, WL = _c0_padded(sm), _wl_padded(sm), win_len(sm)
+    if len(cells) == 2:
+        Uw = U.reshape(tnl, cells[0], cells[1])
+    else:
+        c0, c1, c2 = cells
+        U4 = U.reshape(tnl, c0, c1, c2)
+        U4 = jnp.pad(U4, ((0, 0), (0, 0), (0, 0), (0, 1)))  # seam zero col
+        Uw = U4.reshape(tnl, c0, c1 * (c2 + 1))[:, :, :WL]
+    Uw = jnp.pad(
+        Uw, ((0, 0), (0, c0p - Uw.shape[1]), (0, WLp - Uw.shape[2]))
+    )
+    Wc = jnp.einsum(
+        "tw,tRL->wRL", T, Uw, precision=jax.lax.Precision.HIGHEST
+    )
+    mask = jnp.asarray(w_win_mask(sm), dtype=U.dtype)
+    return 0.5 * Wc + A0.reshape(-1)[:, None, None] * mask
+
+
 def make_bicgstab_iter(
     sm: StructuredMap, d: int, pair_block: int = 8, interpret: bool = False
 ):

@@ -649,9 +649,16 @@ class FractionalStep_AB_CN:
         self._ell_amg = None
         opts = options or {}
         # NOTE: jax.default_backend() stays 'tpu' inside a
-        # jax.default_device(cpu) scope, so probe the actual placement
+        # jax.default_device(cpu) scope, so probe the actual placement.
+        # Sharded runs execute on the DEVICE MESH's platform, which can
+        # differ from the default placement (a virtual CPU mesh while a
+        # live TPU backend is the default — the multichip dry run): the
+        # mesh devices are authoritative there.
         try:
-            platform = jnp.zeros(1).devices().pop().platform
+            if self._device_mesh is not None:
+                platform = next(iter(self._device_mesh.devices.flat)).platform
+            else:
+                platform = jnp.zeros(1).devices().pop().platform
         except Exception:
             platform = jax.default_backend()
         if self._hx_v is not None:
@@ -2035,12 +2042,12 @@ class FractionalStep_AB_CN:
                     [cub.cube_gather(uf[g], info.sm_v_loc) for g in range(d)]
                 )
                 uq = jnp.einsum("qm,gmc->gqc", cu_.Phi, U)
-                Wc = jnp.einsum(
-                    "tw,tc->wc", self._slab_T, U.reshape(d * nl, -1),
-                    precision=jax.lax.Precision.HIGHEST,
+                # windowed weights built directly in the seam-padded layout
+                # (one MXU contraction; the compact per-cube W is never
+                # materialized — see po.build_w_win_from_u)
+                W_win = po.build_w_win_from_u(
+                    self._slab_T, A0_lhs, U.reshape(d * nl, -1), info.sm_v_loc
                 )
-                W = (A0_lhs.reshape(-1, 1) + 0.5 * Wc).reshape(nl, nl, -1)
-                W_win = po.build_w_win(W, info.sm_v_loc)
                 uf_pf = po.to_planeflat(
                     sl.halo_refresh(u1, info.sm_v_loc, ax), info.sm_v_loc
                 )
@@ -2067,21 +2074,20 @@ class FractionalStep_AB_CN:
             cu_ = P["cu"]
             nl = cu_.M_c.shape[0]
             U = self._pallas_gather(uab).reshape(d, nl, -1)  # (d, nl, nc)
-            u27f = U.reshape(d * nl, -1)
-            Wc = jnp.einsum(
-                "tw,tc->wc", self._pallas_T, u27f,
-                precision=jax.lax.Precision.HIGHEST,
-            )
             A0_lhs = (1.0 / dt) * cu_.M_c + 0.5 * nu * cu_.K_c
-            W = (A0_lhs.reshape(-1, 1) + 0.5 * Wc).reshape(nl, nl, -1)
             # uq for the Jacobi diagonal (Q-point convecting velocity)
             uq = jnp.einsum("qm,gmc->gqc", cu_.Phi, U)
             if self._pallas_bicgstab is not None:
                 from .assembly import pallas_ops as po
 
-                # windowed layout for the fused one-op-per-iteration solver
+                # windowed weights built DIRECTLY in the seam-padded layout
+                # the fused solver consumes: one MXU contraction writes the
+                # nl²-row array once (the compact W is never materialized —
+                # nothing on this branch reads it)
                 sm_v = self._ctx.sv
-                W_win = po.build_w_win(W, sm_v)
+                W_win = po.build_w_win_from_u(
+                    self._pallas_T, A0_lhs, U.reshape(d * nl, -1), sm_v
+                )
                 # b_first = A_rhs u1 = (2/dt) M u1 - A_lhs u1 — two one-op
                 # kernels instead of the staged gather/einsum/scatter path
                 u1_pf = po.to_planeflat(u1, sm_v)
@@ -2089,18 +2095,39 @@ class FractionalStep_AB_CN:
                     W_win, u1_pf
                 )
                 b_first = po.from_planeflat(bf_pf, sm_v) + P["b0"]
-                return uab, ((1.0 / dt, 0.5 * nu), W, uq, W_win), b_first
+                return uab, ((1.0 / dt, 0.5 * nu), None, uq, W_win), b_first
             if self._pallas_bicgstab_hbm is not None:
                 from .assembly import pallas_ops as po
 
-                # HBM-state solver: same windowed weights; b_first through
-                # the one-pass rhs matvec ((2/dt) M u1 - A_lhs u1 sharing a
-                # single gather/scatter and the same W read) — once per
-                # step, amortized over the iteration kernels it enables
+                # HBM-state solver: windowed weights built directly (the
+                # compact W is never materialized); b_first = (2/dt) M u1
+                # - A_lhs u1 via the W-streamed HBM matvec + the
+                # baked-constant mass kernel
                 sm_v = self._ctx.sv
-                W_win = po.build_w_win(W, sm_v)
-                b_first = self._pallas_rhs(W, u1, 2.0 / dt) + P["b0"]
-                return uab, ((1.0 / dt, 0.5 * nu), W, uq, W_win), b_first
+                W_win = po.build_w_win_from_u(
+                    self._pallas_T, A0_lhs, U.reshape(d * nl, -1), sm_v
+                )
+                Au1 = po.from_hbm_state(
+                    self._hbm_matvec(
+                        W_win, po.to_hbm_state(u1, sm_v),
+                        self._hbm_ones, self._hbm_ones,
+                    ),
+                    sm_v,
+                )
+                if self._pf_mass_mv is not None:
+                    Mu1 = po.from_planeflat(
+                        self._pf_mass_mv(po.to_planeflat(u1, sm_v)), sm_v
+                    )
+                else:
+                    Mu1 = self._pallas_mass(u1)
+                b_first = (2.0 / dt) * Mu1 - Au1 + P["b0"]
+                return uab, ((1.0 / dt, 0.5 * nu), None, uq, W_win), b_first
+            u27f = U.reshape(d * nl, -1)
+            Wc = jnp.einsum(
+                "tw,tc->wc", self._pallas_T, u27f,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            W = (A0_lhs.reshape(-1, 1) + 0.5 * Wc).reshape(nl, nl, -1)
             # b_first = A_rhs u1 = (2/dt) M u1 - A_lhs u1  (A_rhs + A_lhs = (2/dt) M)
             b_first = self._pallas_rhs(W, u1, 2.0 / dt) + P["b0"]
             return uab, ((1.0 / dt, 0.5 * nu), W, uq), b_first

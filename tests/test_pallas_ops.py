@@ -475,3 +475,32 @@ def test_hbm_state_bicgstab_kernels(resident):
     rn = np.sqrt((res**2).sum(axis=-1))
     bn = np.asarray(bnorm)
     assert (rn <= 3 * rtol * bn).all(), rn / bn
+
+
+@pytest.mark.parametrize("dim,N", [(2, 5), (3, 3)])
+def test_build_w_win_from_u_matches_relayout(dim, N):
+    """The direct windowed-layout construction (pad the small per-slot
+    source, one contraction, masked A0 epilogue) equals the reference
+    einsum -> combine -> build_w_win chain elementwise."""
+    mesh, ctx, refs, ops, (sm_v, gf_v, _), _ = setup(dim, N, 2, 1)
+    rng = np.random.default_rng(21)
+    d = mesh.dim
+    nl = ops.M_c.shape[0]
+
+    g = lambda: _grid(rng.standard_normal(ctx.ndofs_v), gf_v, sm_v)
+    uab = jnp.asarray(np.stack([g() for _ in range(d)]))
+    a, bb = 5.0, 0.2
+    A0 = jnp.asarray(a * ops.M_c + bb * ops.K_c)
+    u27 = jnp.stack(
+        [cu.cube_gather(uab[i], sm_v) for i in range(d)]
+    ).reshape(d * nl, -1)
+    T = jnp.asarray(po.conv_weight_tensor(ops), A0.dtype)
+
+    Wc = jnp.einsum("tw,tc->wc", T, u27, precision=jax.lax.Precision.HIGHEST)
+    W = (A0.reshape(-1, 1) + 0.5 * Wc).reshape(nl, nl, -1)
+    ref = np.asarray(po.build_w_win(W, sm_v))
+
+    out = np.asarray(po.build_w_win_from_u(T, A0, u27, sm_v))
+    assert out.shape == ref.shape
+    scale = np.abs(ref).max()
+    assert np.abs(out - ref).max() <= 1e-12 * scale, np.abs(out - ref).max()
