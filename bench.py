@@ -195,6 +195,7 @@ def main():
         "platform": jax.devices()[0].platform,
         "u_iters_mean": float(np.mean(stats["u_iters"])),
         "p_iters_mean": float(np.mean(stats["p_iters"])),
+        "c_iters_mean": float(np.mean(stats["c_iters"])),
         "cpu_ref_mdof_per_s": round(cpu_rate, 4),
         "cpu_ref": "scipy-CSR IPCS, same 1.17M-dof mesh, single-threaded"
         " (scripts/cpu_reference.py)",
