@@ -234,3 +234,109 @@ def build_band_tables_coo(
         Rr,
         Rc,
     )
+
+
+def build_band_tables_sharded(cd_local: np.ndarray, nloc: int, ndev: int):
+    """Per-shard band-ELL tables with a COMMON static slot layout across
+    shards — under ``shard_map`` the SAME traced kernel runs on every
+    shard, so the slot count S, the per-slot shifts, and the tile count R
+    must agree shard-to-shard (per-shift slot counts are maxed across
+    shards; a shard's unused slots keep value 0 / lane 0, which the
+    matvec turns into ``+= 0 * x[...]``).
+
+    ``cd_local``: (ndev*cps, nd) shard-blocked LOCAL cell dofmaps as built
+    by :func:`oasisx_tpu.parallel.graph.build_halo_exchange` (local layout
+    ``[owned | halo | sentinel]``; all-sentinel rows mark padded cells —
+    their element-matrix entries map to a dropped segment, mirroring
+    ``graph.build_ell_tables``).
+
+    Each shard gets its own RCM permutation of its local dof block (built
+    from its real-cell edges; pad/sentinel slots are isolated vertices).
+    The permutation is applied only inside a solve — gather in, scatter
+    out — so the halo refresh/fold tables keep the canonical local layout.
+
+    Returns ``(shifts, slots (ndev, cps*nd*nd) int32,
+    cols (ndev, S, Rr, 128) int32, perm (ndev, nloc) int32,
+    iperm (ndev, nloc) int32, Rr)``.  Assemble values per shard with
+    :func:`band_values_dropped`.
+    """
+    ncp, nd = cd_local.shape
+    cps = ncp // ndev
+    sent = nloc - 1
+    Rr = -(-nloc // LANE)
+
+    per_shard = []
+    need: dict[int, int] = {}  # shift -> max per-row slot count over shards
+    for s in range(ndev):
+        cd = cd_local[s * cps : (s + 1) * cps].astype(np.int64)
+        pad_cell = (cd == sent).all(axis=1)
+        real = cd[~pad_cell]
+        er = np.repeat(real, nd, axis=1).reshape(-1)
+        ec = np.tile(real, (1, nd)).reshape(-1)
+        perm_s = rcm_permutation(er, ec, nloc)
+        iperm_s = np.argsort(perm_s)
+        rp = iperm_s[cd]  # (cps, nd) permuted local dofs
+        key = (rp[:, :, None] * np.int64(nloc) + rp[:, None, :]).reshape(-1)
+        valid = np.broadcast_to(
+            ~pad_cell[:, None, None], (cps, nd, nd)
+        ).reshape(-1)
+        uniq, inv = np.unique(key[valid], return_inverse=True)
+        urow = (uniq // nloc).astype(np.int64)
+        ucol = (uniq % nloc).astype(np.int64)
+        s_of = (ucol // LANE) - (urow // LANE)
+        lane = (ucol % LANE).astype(np.int32)
+        kidx = np.empty(len(uniq), np.int64)
+        for sh in np.unique(s_of):
+            m = np.flatnonzero(s_of == sh)
+            rows_s = urow[m]  # non-decreasing (uniq is row-major sorted)
+            row_start = np.searchsorted(rows_s, rows_s)
+            ki = np.arange(len(m)) - row_start
+            kidx[m] = ki
+            Ks = int(ki.max()) + 1 if len(m) else 0
+            need[int(sh)] = max(need.get(int(sh), 0), Ks)
+        per_shard.append((valid, inv, urow, s_of, lane, kidx, perm_s, iperm_s))
+
+    shifts: list[int] = []
+    base: dict[int, int] = {}
+    b = 0
+    for sh in sorted(need):
+        base[sh] = b
+        shifts.extend([sh] * need[sh])
+        b += need[sh]
+    S = max(b, 1)
+    drop = S * Rr * LANE
+
+    slots = np.full((ndev, cps * nd * nd), drop, dtype=np.int32)
+    cols = np.zeros((ndev, S, Rr * LANE), np.int32)
+    perms = np.zeros((ndev, nloc), np.int32)
+    iperms = np.zeros((ndev, nloc), np.int32)
+    for s, (valid, inv, urow, s_of, lane, kidx, perm_s, iperm_s) in enumerate(
+        per_shard
+    ):
+        slot_u = np.array([base[int(sh)] for sh in s_of], np.int64) + kidx
+        slots[s, valid] = (slot_u[inv] * (Rr * LANE) + urow[inv]).astype(
+            np.int32
+        )
+        cols[s, slot_u, urow] = lane
+        perms[s] = perm_s.astype(np.int32)
+        iperms[s] = iperm_s.astype(np.int32)
+    return (
+        tuple(shifts),
+        slots,
+        cols.reshape(ndev, S, Rr, LANE),
+        perms,
+        iperms,
+        Rr,
+    )
+
+
+def band_values_dropped(elems, slots, S: int, Rr: int):
+    """Assemble band-ELL values (S, Rr, 128) from a per-shard element
+    stack whose padded-cell entries map to the dropped segment
+    ``S*Rr*128`` (build_band_tables_sharded).  One segment-sum per SOLVE."""
+    import jax
+
+    v = jax.ops.segment_sum(
+        elems.reshape(-1), slots, num_segments=S * Rr * LANE + 1
+    )
+    return v[:-1].reshape(S, Rr, LANE)

@@ -1044,6 +1044,7 @@ class FractionalStep_AB_CN:
         elif self._dtype != jnp.float32 or not opts.get("pallas", True):
             return
         try:
+            from .assembly import band as bd
             from .assembly import pallas_ops as po
             from .parallel import graph as gr
 
@@ -1052,10 +1053,75 @@ class FractionalStep_AB_CN:
             cd_v = np.asarray(self._hx_v.cell_dofs_local)
             cd_q = np.asarray(self._hx_q.cell_dofs_local)
             nloc_v, nloc_q = self._hx_v.nloc, self._hx_q.nloc
+            fbytes = np.dtype(self._dtype).itemsize
+
+            layout = opts.get("ell_layout")
+            if layout is None:
+                layout = "ell"
+                if not interpret:
+                    # eager probe: Mosaic support for in-kernel dynamic
+                    # gather varies by generation/toolchain — fall back to
+                    # the band layout (2D take_along_axis only) if the flat
+                    # 1D gather does not lower
+                    try:
+                        pk = po.make_ell_matvec(2, 256, 256)
+                        pv = jnp.ones((2, 256), self._dtype)
+                        pc = jnp.zeros((2, 256), jnp.int32)
+                        px = jnp.ones((256,), self._dtype)
+                        jax.block_until_ready(pk(pv, pc, px))
+                    except Exception as pe:
+                        logger.info(
+                            "flat-ELL halo kernels unsupported (%s); using "
+                            "band-ELL layout", str(pe).splitlines()[0][:120],
+                        )
+                        layout = "band"
+
+            if layout == "band":
+                sh_v, slots_v, cols_v, perm_v, iperm_v, R_v = (
+                    bd.build_band_tables_sharded(cd_v, nloc_v, ndev)
+                )
+                sh_q, slots_q, cols_q, perm_q, iperm_q, R_q = (
+                    bd.build_band_tables_sharded(cd_q, nloc_q, ndev)
+                )
+                S_v, S_q = len(sh_v), len(sh_q)
+                need_v = R_v * 128 * (S_v * (fbytes + 4) + 2 * d * fbytes)
+                need_q = R_q * 128 * (S_q * (fbytes + 4) + 2 * fbytes)
+                if max(need_v, need_q) > _VMEM_BUDGET:
+                    raise ValueError(
+                        f"per-shard band-ELL state too large for VMEM "
+                        f"(v {need_v / 1e6:.1f} MB, q {need_q / 1e6:.1f} MB)"
+                    )
+                self._ell_tables = dict(
+                    band_slots_v=jnp.asarray(slots_v),
+                    band_cols_v=jnp.asarray(cols_v),
+                    band_perm_v=jnp.asarray(perm_v),
+                    band_iperm_v=jnp.asarray(iperm_v),
+                    band_slots_q=jnp.asarray(slots_q),
+                    band_cols_q=jnp.asarray(cols_q),
+                    band_perm_q=jnp.asarray(perm_q),
+                    band_iperm_q=jnp.asarray(iperm_q),
+                )
+                self._halo_kernels = dict(
+                    layout="band",
+                    S_v=S_v, S_q=S_q, R_v=R_v, R_q=R_q,
+                    nloc_v=nloc_v, nloc_q=nloc_q,
+                    mv_v_b=po.make_band_matvec_batched(
+                        sh_v, R_v, R_v, d, interpret=interpret
+                    ),
+                    mv_q=po.make_band_matvec_batched(
+                        sh_q, R_q, R_q, 1, interpret=interpret
+                    ),
+                )
+                logger.info(
+                    "pallas halo band-ELL kernels enabled (per-shard, "
+                    "S_v=%d S_q=%d R_v=%d R_q=%d, interpret=%s)",
+                    S_v, S_q, R_v, R_q, interpret,
+                )
+                return
+
             K_v, slots_v, cols_v = gr.build_ell_tables(cd_v, cd_v, nloc_v, ndev)
             K_q, slots_q, cols_q = gr.build_ell_tables(cd_q, cd_q, nloc_q, ndev)
             # VMEM gate: vals + cols + x + y per kernel (batched: d streams)
-            fbytes = np.dtype(self._dtype).itemsize
             need_v = nloc_v * ((K_v + 1) * (fbytes + 4) + (d + 1) * fbytes * d)
             need_q = nloc_q * (K_q + 1) * (fbytes + 4)
             if max(need_v, need_q) > _VMEM_BUDGET:
@@ -1063,15 +1129,6 @@ class FractionalStep_AB_CN:
                     f"per-shard ELL state too large for VMEM "
                     f"(v {need_v / 1e6:.1f} MB, q {need_q / 1e6:.1f} MB)"
                 )
-            if not interpret:
-                # eager probe: Mosaic support for in-kernel dynamic gather
-                # varies by generation/toolchain — verify before committing
-                # the whole step program to it
-                pk = po.make_ell_matvec(2, 256, 256)
-                pv = jnp.ones((2, 256), self._dtype)
-                pc = jnp.zeros((2, 256), jnp.int32)
-                px = jnp.ones((256,), self._dtype)
-                jax.block_until_ready(pk(pv, pc, px))
             self._ell_tables = dict(
                 ell_slots_v=jnp.asarray(slots_v),
                 ell_cols_v=jnp.asarray(cols_v),
@@ -1079,6 +1136,7 @@ class FractionalStep_AB_CN:
                 ell_cols_q=jnp.asarray(cols_q),
             )
             self._halo_kernels = dict(
+                layout="ell",
                 K_v=K_v,
                 K_q=K_q,
                 mv_v=po.make_ell_matvec(K_v, nloc_v, nloc_v, interpret=interpret),
@@ -1100,25 +1158,52 @@ class FractionalStep_AB_CN:
     def _ell_vals(self, P: dict, elems, space: str):
         """Per-shard ELL values from a local element-matrix stack — ONE
         segment-sum per solve (inside shard_map; the slots table's local
-        block is P['ell_slots_*'][0])."""
+        block is P['ell_slots_*'][0] / P['band_slots_*'][0])."""
         from .parallel import graph as gr
 
+        hk = self._halo_kernels
+        if hk["layout"] == "band":
+            from .assembly import band as bd
+
+            return bd.band_values_dropped(
+                elems, P[f"band_slots_{space}"][0],
+                hk[f"S_{space}"], hk[f"R_{space}"],
+            )
         hx = self._hx_v if space == "v" else self._hx_q
         return gr.ell_values(
-            elems, P[f"ell_slots_{space}"][0], self._halo_kernels[f"K_{space}"],
-            hx.nloc,
+            elems, P[f"ell_slots_{space}"][0], hk[f"K_{space}"], hx.nloc,
         )
 
     def _halo_apply(self, P: dict, ctx, kernel_name: str, vals, x, space: str):
         """refresh -> one-op ELL kernel -> fold: the graph-halo analogue of
-        a global operator application (cf. _slab_apply)."""
+        a global operator application (cf. _slab_apply).  Band layout: the
+        per-shard RCM permutation is applied around the kernel only — the
+        refresh/fold tables keep the canonical local [owned|halo|sentinel]
+        layout."""
         from .parallel import graph as gr
 
+        hk = self._halo_kernels
         tree = ctx.halo_v if space == "v" else ctx.halo_q
         deltas = ctx.deltas_v if space == "v" else ctx.deltas_q
-        cols = P[f"ell_cols_{space}"][0]
         x = gr.halo_refresh(x, tree, deltas, ctx.axis)
-        y = self._halo_kernels[kernel_name](vals, cols, x)
+        if hk["layout"] == "band":
+            R = hk[f"R_{space}"]
+            nloc = hk[f"nloc_{space}"]
+            perm = P[f"band_perm_{space}"][0]
+            iperm = P[f"band_iperm_{space}"][0]
+            xb = jnp.take(x, perm, axis=-1)
+            pad = [(0, 0)] * (x.ndim - 1) + [(0, R * 128 - nloc)]
+            xb = jnp.pad(xb, pad).reshape(x.shape[:-1] + (R, 128))
+            squeeze = xb.ndim == 2
+            if squeeze:
+                xb = xb[None]
+            yb = hk[kernel_name](vals, P[f"band_cols_{space}"][0], xb)
+            y = yb.reshape(yb.shape[:-2] + (-1,))[..., :nloc]
+            y = jnp.take(y, iperm, axis=-1)
+            if squeeze:
+                y = y[0]
+        else:
+            y = hk[kernel_name](vals, P[f"ell_cols_{space}"][0], x)
         return gr.halo_fold(y, tree, deltas, ctx.axis)
 
     def _build_pallas_ell_single(self, opts: dict, platform: str) -> None:
@@ -1990,12 +2075,12 @@ class FractionalStep_AB_CN:
         dof = (lambda *lead: P(*lead, ax)) if halo else (lambda *lead: P())
         extra = {}
         if self._ell_tables is not None:
-            extra = dict(
-                ell_slots_v=P(ax, None),
-                ell_cols_v=P(ax, None, None),
-                ell_slots_q=P(ax, None),
-                ell_cols_q=P(ax, None, None),
-            )
+            # (ndev, ...) stacked per-shard tables, leading dim sharded —
+            # covers both the flat-ELL and band-ELL layouts
+            extra = {
+                k: P(ax, *(None,) * (v.ndim - 1))
+                for k, v in self._ell_tables.items()
+            }
         return dict(
             **extra,
             ctx=self._ctx_specs(),

@@ -349,19 +349,87 @@ def test_ell_matvec_matches_dense():
     assert np.allclose(got[hx.perm], ref, atol=1e-11), np.abs(got[hx.perm] - ref).max()
 
 
+def test_band_matvec_sharded_matches_dense():
+    """Per-shard band-ELL operator (build_band_tables_sharded +
+    band_values_dropped + make_band_matvec_batched in interpret mode, RCM
+    permutation applied around the kernel) composed with refresh/fold ==
+    global element matvec — the layout that engages on hardware whose
+    Mosaic rejects the flat-ELL 1D gather."""
+    from oasisx_tpu.assembly import band as bd
+    from oasisx_tpu.assembly import pallas_ops as po
+
+    ndev = 8
+    dmesh = _mesh(ndev)
+    mesh, V, cd, shard_of, cell_perm, B, hx = _setup(ndev)
+    rng = np.random.default_rng(11)
+    nd = V.num_dofs
+    ndpc = cd.shape[1]
+    elems = rng.standard_normal((len(cd), ndpc, ndpc))
+    xg = rng.standard_normal(nd)
+
+    ref = np.zeros(nd)
+    for c in range(len(cd)):
+        ref[cd[c]] += elems[c] @ xg[cd[c]]
+
+    nloc = hx.nloc
+    sh, slots, cols, perm, iperm, R = bd.build_band_tables_sharded(
+        hx.cell_dofs_local, nloc, ndev
+    )
+    S = len(sh)
+    elems_b = np.zeros((ndev * B, ndpc, ndpc))
+    for i, c in enumerate(cell_perm):
+        if c >= 0:
+            elems_b[i] = elems[c]
+    x_loc = np.zeros(ndev * nloc)
+    x_loc[hx.perm] = xg
+    tree, deltas = G.make_halo_tables(hx, jnp.float64)
+    specs = G.halo_tree_specs(tree, "s")
+    kern = po.make_band_matvec_batched(sh, R, R, 1, interpret=True)
+
+    def mv(x, E, slots_s, cols_s, perm_s, iperm_s, tree):
+        vals = bd.band_values_dropped(E, slots_s[0], S, R)
+        x = G.halo_refresh(x, tree, deltas, "s")
+        xb = jnp.pad(jnp.take(x, perm_s[0]), (0, R * 128 - nloc))
+        yb = kern(vals, cols_s[0], xb.reshape(1, R, 128))
+        y = jnp.take(yb.reshape(-1)[:nloc], iperm_s[0])
+        return G.halo_fold(y, tree, deltas, "s")
+
+    y = jax.jit(
+        jax.shard_map(
+            mv,
+            mesh=dmesh,
+            in_specs=(P("s"), P("s", None, None), P("s", None),
+                      P("s", None, None, None), P("s", None), P("s", None),
+                      specs),
+            out_specs=P("s"),
+            check_vma=False,
+        )
+    )(
+        jnp.asarray(x_loc), jnp.asarray(elems_b.reshape(ndev * B, ndpc, ndpc)),
+        jnp.asarray(slots), jnp.asarray(cols), jnp.asarray(perm),
+        jnp.asarray(iperm), tree,
+    )
+    got = np.asarray(y)
+    assert np.allclose(got[hx.perm], ref, atol=1e-11), np.abs(got[hx.perm] - ref).max()
+
+
 @pytest.mark.parametrize("rotational", [False, True])
-def test_halo_ell_kernel_cylinder_matches_single_device(rotational):
+@pytest.mark.parametrize("layout", ["ell", "band"])
+def test_halo_ell_kernel_cylinder_matches_single_device(rotational, layout):
     """Graph-halo sharded cylinder with the per-shard ELL Pallas kernels
     (interpret mode) == single device to 1e-9 — the VERDICT r3 #4 'done'
-    criterion: the kernel path runs in tests and engages on TPU."""
+    criterion: the kernel path runs in tests and engages on TPU.  The
+    band layout is the one that engages on hardware whose Mosaic only
+    lowers 2D take_along_axis."""
     dmesh = _mesh(8)
     ref = _cylinder_solver(rotational=rotational)
     sol = _cylinder_solver(
         device_mesh=dmesh, rotational=rotational,
-        options={"pallas": "interpret"},
+        options={"pallas": "interpret", "ell_layout": layout},
     )
     assert sol._hx_v is not None, "halo sharding did not engage"
     assert sol._halo_kernels is not None, "ELL kernels did not engage"
+    assert sol._halo_kernels["layout"] == layout
 
     dt, nu = 2e-3, 1e-3
     for _ in range(2):
