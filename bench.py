@@ -37,15 +37,20 @@ def _emit(out, code=0):
     sys.exit(code)
 
 
-def probe_backend(attempts=5, probe_timeout=120):
+def probe_backend(attempts=None, probe_timeout=120):
     """Verify the TPU relay backend can initialize, with retry + backoff.
 
     Round 3's bench died at the first ``device_put`` when the relay was
     down (VERDICT r3 weak #1) — and a relay-init hang cannot be timed out
     in-process (it blocks in native code).  So probe in a SUBPROCESS with a
-    hard timeout, retrying with backoff (~5 attempts over ~5 min).  Returns
-    (platform, None) on success or (None, last_error) on persistent failure.
+    hard timeout, retrying with backoff (default 7 attempts over ~15 min —
+    observed relay outages are often transient, e.g. a few minutes after a
+    worker crash, so patience pays; override via BENCH_PROBE_ATTEMPTS).
+    Returns (platform, None) on success or (None, last_error) on
+    persistent failure.
     """
+    if attempts is None:
+        attempts = int(os.environ.get("BENCH_PROBE_ATTEMPTS", 7))
     last_err = None
     for i in range(attempts):
         if i:
@@ -207,7 +212,44 @@ def main():
     _emit(out)
 
 
+def _supervised():
+    """Run the whole measurement in a child under a hard timeout.
+
+    The probe retries guard against *failing* backend init, but a relay
+    session can also WEDGE mid-run (observed 2026-08-20: a client killed
+    mid-measurement left the remote worker holding the session; the next
+    client queued forever).  A hang in the parent process means the driver
+    records no JSON at all — worse than an error line.  So the parent
+    re-execs itself with BENCH_CHILD=1 under ``BENCH_TIMEOUT`` seconds
+    (default 2400) and forwards the child's final JSON line; on
+    timeout/rc!=0 it emits an error JSON with rc 0.
+    """
+    tmo = float(os.environ.get("BENCH_TIMEOUT", 2400))
+    meta = {"metric": "3D Taylor-Green IPCS throughput (P2/P1, ~1M velocity DOFs)",
+            "unit": "MDOF-updates/s"}
+    env = dict(os.environ, BENCH_CHILD="1")
+    try:
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env, capture_output=True, text=True, timeout=tmo)
+    except subprocess.TimeoutExpired:
+        _emit({**meta, "value": None, "vs_baseline": None,
+               "error": f"bench run hung (> {tmo:.0f}s): relay session wedged"})
+    if r.stderr:
+        sys.stderr.write(r.stderr[-4000:])
+    line = next((l for l in reversed(r.stdout.strip().splitlines())
+                 if l.startswith("{")), None)
+    if line is not None:
+        print(line)
+        sys.stdout.flush()
+        sys.exit(0)
+    _emit({**meta, "value": None, "vs_baseline": None,
+           "error": f"bench child rc={r.returncode}, no JSON: "
+                    f"{(r.stderr or '').strip().splitlines()[-1:] or ['?']}"[:400]})
+
+
 if __name__ == "__main__":
+    if os.environ.get("BENCH_CHILD") != "1":
+        _supervised()
     try:
         main()
     except SystemExit:
