@@ -50,7 +50,12 @@ def probe_backend(attempts=None, probe_timeout=120):
     persistent failure.
     """
     if attempts is None:
-        attempts = int(os.environ.get("BENCH_PROBE_ATTEMPTS", 7))
+        try:
+            attempts = int(os.environ.get("BENCH_PROBE_ATTEMPTS", 7))
+        except ValueError:
+            print("ignoring non-numeric BENCH_PROBE_ATTEMPTS; using 7",
+                  file=sys.stderr)
+            attempts = 7
     last_err = None
     for i in range(attempts):
         if i:
@@ -167,12 +172,31 @@ def main():
 
     # --- TPU (or default-device) run at ~1M velocity DOFs ------------------
     N = int(os.environ.get("BENCH_N", 36))  # even -> MG hierarchy; P2 dofs (2N+1)^3 = 389k -> 1.167M velocity dofs
-    solver = build_solver(N, dtype=np.float32)
+    rtol = float(os.environ.get("BENCH_RTOL", 1e-5))
+    solver = build_solver(N, dtype=np.float32, rtol=rtol)
     nvel = 3 * solver._Vi[0][0].num_dofs
     sec_per_step, sec_per_step_best, stats = measure(solver, dt, nu)
     steps_per_sec = 1.0 / sec_per_step
     mdof_rate = nvel * steps_per_sec / 1e6
     mdof_rate_best = nvel / sec_per_step_best / 1e6
+
+    # --- honesty guard (VERDICT r4 #7): tighter-rtol variant ---------------
+    # u_iters ~0.9 means warm starts exit at the initial-residual check;
+    # show that's convergence (not under-solving) by re-measuring at
+    # rtol 1e-6 — within ~20% of headline if the work really is converged.
+    rtol_variant = None
+    if os.environ.get("BENCH_RTOL_CHECK", "1") == "1" and rtol > 1e-6:
+        solver6 = build_solver(N, dtype=np.float32, rtol=1e-6)
+        sps6, _, stats6 = measure(solver6, dt, nu, windows=2)
+        rtol_variant = {
+            "rtol": 1e-6,
+            "value": round(nvel / sps6 / 1e6, 3),
+            "steps_per_sec": round(1.0 / sps6, 4),
+            "u_iters_mean": float(np.mean(stats6["u_iters"])),
+            "p_iters_mean": float(np.mean(stats6["p_iters"])),
+            "vs_headline": round((nvel / sps6 / 1e6) / mdof_rate, 3),
+        }
+        del solver6
 
     # --- CPU reference baseline (same mesh, scipy-CSR IPCS) ----------------
     cpu_rate = float(os.environ.get("BENCH_CPU_MDOF", CPU_REF_MDOF_PER_S))
@@ -201,6 +225,15 @@ def main():
         "u_iters_mean": float(np.mean(stats["u_iters"])),
         "p_iters_mean": float(np.mean(stats["p_iters"])),
         "c_iters_mean": float(np.mean(stats["c_iters"])),
+        "rtol": rtol,
+        # per-solve relative exit residuals ||b-Ax||/||b|| over the last
+        # window (max = worst solve): the honesty companion to the low
+        # warm-started iteration counts
+        "final_residuals": {
+            k: float(np.max(stats[k])) for k in ("u_res", "p_res", "c_res")
+            if k in stats
+        },
+        "rtol_variant": rtol_variant,
         "cpu_ref_mdof_per_s": round(cpu_rate, 4),
         "cpu_ref": "scipy-CSR IPCS, same 1.17M-dof mesh, single-threaded"
         " (scripts/cpu_reference.py)",
@@ -231,9 +264,19 @@ def _supervised():
     try:
         r = subprocess.run([sys.executable, os.path.abspath(__file__)],
                            env=env, capture_output=True, text=True, timeout=tmo)
-    except subprocess.TimeoutExpired:
+    except subprocess.TimeoutExpired as e:
+        # NOTE: killing the child TPU client here can itself wedge the relay
+        # for later clients (SKILL.md); the timeout is a last resort so the
+        # driver records SOMETHING.  Don't claim a wedge — a cold XLA compile
+        # plus probe backoff can legitimately exceed the budget.
+        for chunk in (e.stderr, e.stdout):
+            if chunk:
+                if isinstance(chunk, bytes):
+                    chunk = chunk.decode(errors="replace")
+                sys.stderr.write(chunk[-4000:])
         _emit({**meta, "value": None, "vs_baseline": None,
-               "error": f"bench run hung (> {tmo:.0f}s): relay session wedged"})
+               "error": f"bench run exceeded {tmo:.0f}s (hung, still compiling,"
+                        " or relay session wedged); child killed"})
     if r.stderr:
         sys.stderr.write(r.stderr[-4000:])
     line = next((l for l in reversed(r.stdout.strip().splitlines())
@@ -242,9 +285,9 @@ def _supervised():
         print(line)
         sys.stdout.flush()
         sys.exit(0)
+    last = ((r.stderr or "").strip().splitlines() or ["?"])[-1]
     _emit({**meta, "value": None, "vs_baseline": None,
-           "error": f"bench child rc={r.returncode}, no JSON: "
-                    f"{(r.stderr or '').strip().splitlines()[-1:] or ['?']}"[:400]})
+           "error": f"bench child rc={r.returncode}, no JSON: {last[:300]}"})
 
 
 if __name__ == "__main__":

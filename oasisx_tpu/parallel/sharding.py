@@ -211,6 +211,8 @@ def shard_problem_halo(
     fctxs: list[FacetContext],
     cell_centroids: np.ndarray,
     dtype,
+    cells: np.ndarray | None = None,
+    partitioner: str = "multilevel",
 ):
     """Owned-dof halo sharding for the GENERAL path (round 3): RCB cell
     partition + per-space [owned|halo|sentinel] dof blocks + ppermute
@@ -229,7 +231,19 @@ def shard_problem_halo(
     axis = mesh.axis_names[0]
     ndev = int(np.prod(mesh.devices.shape))
     nc = ctx.detJ.shape[0]
-    shard_of = rcb_partition(np.asarray(cell_centroids), ndev)
+    if partitioner == "multilevel" and cells is not None:
+        # edge-cut-aware partition choice (VERDICT r4 #3): build RCB and a
+        # multilevel dual-graph partition, score both by the EXACT padded
+        # ppermute payload they would realize for the v and q dofmaps
+        # (best shard relabeling included), keep the cheaper
+        from .partition import choose_partition
+
+        shard_of = choose_partition(
+            cells, np.asarray(cell_centroids), ndev,
+            dofmaps=[np.asarray(ctx.cd_v), np.asarray(ctx.cd_q)],
+        )
+    else:
+        shard_of = rcb_partition(np.asarray(cell_centroids), ndev)
     B = -(-nc // ndev)
     nc_pad = B * ndev
     cell_perm = np.full(nc_pad, -1, dtype=np.int64)
