@@ -85,8 +85,8 @@ class DeviceContext:
     # scatter_forward / scatter_reverse(add), SURVEY L0).
     halo_v: tuple | None = None  # (packs, unpacks, ownmask) pytree
     halo_q: tuple | None = None
-    deltas_v: tuple = field(default=(), metadata=dict(static=True))
-    deltas_q: tuple = field(default=(), metadata=dict(static=True))
+    perms_v: tuple = field(default=(), metadata=dict(static=True))
+    perms_q: tuple = field(default=(), metadata=dict(static=True))
 
 
 def build_transpose_map(cell_dofs: np.ndarray, num_dofs: int) -> np.ndarray:
@@ -190,7 +190,7 @@ def scatter_v(ctx: DeviceContext, vals: jax.Array) -> jax.Array:
         from ..parallel.graph import halo_fold
 
         y = _transpose_scatter(vals, ctx.pos_v, None)
-        return halo_fold(y, ctx.halo_v, ctx.deltas_v, ctx.axis)
+        return halo_fold(y, ctx.halo_v, ctx.perms_v, ctx.axis)
     if ctx.pos_v is not None:
         return _transpose_scatter(vals, ctx.pos_v, ctx.axis)
     return scatter_add(vals, ctx.cd_v, ctx.ndofs_v, ctx.axis)
@@ -205,7 +205,7 @@ def scatter_q(ctx: DeviceContext, vals: jax.Array) -> jax.Array:
         from ..parallel.graph import halo_fold
 
         y = _transpose_scatter(vals, ctx.pos_q, None)
-        return halo_fold(y, ctx.halo_q, ctx.deltas_q, ctx.axis)
+        return halo_fold(y, ctx.halo_q, ctx.perms_q, ctx.axis)
     if ctx.pos_q is not None:
         return _transpose_scatter(vals, ctx.pos_q, ctx.axis)
     return scatter_add(vals, ctx.cd_q, ctx.ndofs_q, ctx.axis)
@@ -220,7 +220,7 @@ def gather_v(ctx: DeviceContext, x: jax.Array) -> jax.Array:
     if ctx.halo_v is not None:
         from ..parallel.graph import halo_refresh
 
-        x = halo_refresh(x, ctx.halo_v, ctx.deltas_v, ctx.axis)
+        x = halo_refresh(x, ctx.halo_v, ctx.perms_v, ctx.axis)
     return x[ctx.cd_v]
 
 
@@ -232,7 +232,7 @@ def gather_q(ctx: DeviceContext, x: jax.Array) -> jax.Array:
     if ctx.halo_q is not None:
         from ..parallel.graph import halo_refresh
 
-        x = halo_refresh(x, ctx.halo_q, ctx.deltas_q, ctx.axis)
+        x = halo_refresh(x, ctx.halo_q, ctx.perms_q, ctx.axis)
     return x[ctx.cd_q]
 
 

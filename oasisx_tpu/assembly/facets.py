@@ -132,7 +132,7 @@ def pressure_surface_vecs(
         from ..parallel.graph import halo_fold
 
         y = jax.vmap(lambda v: scatter_add(v, cd, ctx.ndofs_v, None))(re)
-        return halo_fold(y, ctx.halo_v, ctx.deltas_v, ctx.axis)
+        return halo_fold(y, ctx.halo_v, ctx.perms_v, ctx.axis)
     return jax.vmap(lambda v: scatter_add(v, cd, ctx.ndofs_v, ctx.axis))(re)
 
 
@@ -141,7 +141,7 @@ def facet_eval_q(ctx: DeviceContext, fctx: FacetContext, p: jax.Array) -> jax.Ar
     if ctx.halo_q is not None:
         from ..parallel.graph import halo_refresh
 
-        p = halo_refresh(p, ctx.halo_q, ctx.deltas_q, ctx.axis)
+        p = halo_refresh(p, ctx.halo_q, ctx.perms_q, ctx.axis)
     pe = p[ctx.cd_q[fctx.cells]]  # (nf, m)
     phi = fctx.phi_q[fctx.local]  # (nf, nqf, m)
     return jnp.einsum("fqm,fm->fq", phi, pe)

@@ -460,13 +460,16 @@ class FractionalStep_AB_CN:
             ndev = self._hx_v.ndev
 
             def space(hx):
+                # edge-colored rounds: only participating links move bytes
+                # (len(pairs) x the round's buffer width)
                 per_ex = sum(
-                    ndev * pack.shape[1] for (_, pack, _) in hx.sched
+                    len(pairs) * pack.shape[1] for (pairs, pack, _) in hx.sched
                 ) * fb
                 owned = int(hx.ownmask.sum()) * fb
                 return dict(
                     bytes_per_exchange=per_ex,
                     owned_bytes=owned,
+                    rounds=len(hx.sched),
                     ratio=per_ex / max(owned, 1),
                 )
 
@@ -1200,8 +1203,8 @@ class FractionalStep_AB_CN:
 
         hk = self._halo_kernels
         tree = ctx.halo_v if space == "v" else ctx.halo_q
-        deltas = ctx.deltas_v if space == "v" else ctx.deltas_q
-        x = gr.halo_refresh(x, tree, deltas, ctx.axis)
+        perms = ctx.perms_v if space == "v" else ctx.perms_q
+        x = gr.halo_refresh(x, tree, perms, ctx.axis)
         if hk["layout"] == "band":
             R = hk[f"R_{space}"]
             nloc = hk[f"nloc_{space}"]
@@ -1220,7 +1223,7 @@ class FractionalStep_AB_CN:
                 y = y[0]
         else:
             y = hk[kernel_name](vals, P[f"ell_cols_{space}"][0], x)
-        return gr.halo_fold(y, tree, deltas, ctx.axis)
+        return gr.halo_fold(y, tree, perms, ctx.axis)
 
     def _build_pallas_ell_single(self, opts: dict, platform: str) -> None:
         """Fused one-op-per-iteration Krylov kernels for SINGLE-DEVICE

@@ -17,9 +17,15 @@ dofs with IndexMap scatters (/root/reference/src/oasisx/fracstep.py:390,
 - the local dof layout is ``[owned | halo | sentinel]`` padded to common
   sizes across shards (SPMD static shapes); the single sentinel slot
   absorbs padded gather/scatter rows;
-- the exchange schedule groups (shard -> owner) pairs by the ring shift
-  ``delta = (owner - shard) mod ndev`` and runs ONE ``ppermute`` of a
-  fixed-size packed buffer per distinct shift:
+- the exchange schedule edge-colors the (shard -> owner) message graph
+  into ROUNDS — per round each shard sends to at most one destination and
+  receives from at most one source, so the round is ONE ``ppermute`` with
+  an arbitrary (src, dst) pair list (NOT a uniform ring shift; XLA
+  collective-permute takes any partial permutation).  Messages are placed
+  into rounds largest-first, so each round's buffer is sized by similar
+  messages and only participating links move bytes — a chain partition
+  costs its true halo, and an irregular partition is not punished by
+  all-shards ring padding:
   ``halo_fold``   == scatter_reverse(add): halo contributions -> owner
   ``halo_refresh``== scatter_forward: owner values -> halo slots.
 
@@ -62,6 +68,47 @@ def rcb_partition(centroids: np.ndarray, ndev: int) -> np.ndarray:
     return out
 
 
+def color_messages(sizes: list[tuple[int, int, int]]) -> list[list[int]]:
+    """Greedy size-sorted edge coloring of point-to-point messages.
+
+    ``sizes``: [(src, dst, size)].  Returns rounds as lists of message
+    indices; within a round all srcs are distinct and all dsts are
+    distinct (a partial permutation -> one ``ppermute``).  Processing
+    largest-first packs similar sizes together, so the per-round buffer
+    (max size in round) wastes little: total cost ~= true halo bytes.
+    Also the shared cost model for partition selection
+    (partition.schedule_cost)."""
+    order = sorted(range(len(sizes)), key=lambda i: -sizes[i][2])
+    rounds: list[list[int]] = []
+    used: list[tuple[set, set]] = []
+    bmax: list[int] = []  # per-round buffer width (max message size)
+    for i in order:
+        s, o, sz = sizes[i]
+        # place where the incremental payload (len(round) grows by one at
+        # width max(B, sz), possibly widening existing members) is minimal;
+        # opening a fresh round costs sz payload + one more ppermute of
+        # latency, so joining is preferred while its padding overhead stays
+        # under 25% of the message
+        best, best_inc = None, sz + (sz >> 2) + 1
+        for ridx, (su, du) in enumerate(used):
+            if s in su or o in du:
+                continue
+            nb = max(bmax[ridx], sz)
+            inc = nb * (len(rounds[ridx]) + 1) - bmax[ridx] * len(rounds[ridx])
+            if inc < best_inc:
+                best, best_inc = ridx, inc
+        if best is None:
+            rounds.append([i])
+            used.append(({s}, {o}))
+            bmax.append(sz)
+        else:
+            rounds[best].append(i)
+            used[best][0].add(s)
+            used[best][1].add(o)
+            bmax[best] = max(bmax[best], sz)
+    return rounds
+
+
 @dataclass
 class HaloExchange:
     """Static exchange schedule for one function space (host-built)."""
@@ -72,8 +119,9 @@ class HaloExchange:
     # canonical dof -> global local-flat position shard*nloc + local of the
     # OWNING shard (for host<->device vector conversion)
     perm: np.ndarray
-    # per shift delta: (delta, pack (ndev, B), unpack (ndev, B)) int32;
-    # sentinel-padded rows point at nloc-1
+    # per round: (pairs ((src, dst), ...) for the fold direction,
+    # pack (ndev, B), unpack (ndev, B)) int32; sentinel-padded rows point
+    # at nloc-1; non-participating shards have all-sentinel rows
     sched: list
     # (ndev*nloc,) float mask: 1.0 on owned non-pad slots
     ownmask: np.ndarray
@@ -120,31 +168,30 @@ def build_halo_exchange(
     for s in range(ndev):
         perm[owned[s]] = s * nloc + loc[s, owned[s]]
 
-    # exchange schedule grouped by ring shift
-    by_delta: dict[int, list[list[tuple[int, int]]]] = {}
+    # exchange schedule: one message per (halo holder s -> owner o) pair,
+    # edge-colored into rounds (largest-first greedy; per round every
+    # shard sends <=1 and receives <=1, so each round is one ppermute)
+    msgs = []  # (s, o, sender halo locs, owner owned locs)
     for s in range(ndev):
         if not len(halo[s]):
             continue
         o_of = owner[halo[s]]
         for o in np.unique(o_of):
-            delta = int((o - s) % ndev)
-            pairs = by_delta.setdefault(delta, [[] for _ in range(ndev)])
             hd = halo[s][o_of == o]
-            # (sender local halo pos, owner local owned pos)
-            pairs[s].extend(zip(loc[s, hd].tolist(), loc[o, hd].tolist()))
+            msgs.append((s, int(o), loc[s, hd], loc[o, hd]))
+    rounds = color_messages([(s, o, len(sl)) for s, o, sl, _ in msgs])
     sched = []
-    for delta in sorted(by_delta):
-        pairs = by_delta[delta]
-        B = max(len(p) for p in pairs)
+    for ridx in rounds:
+        B = max(len(msgs[i][2]) for i in ridx)
         pack = np.full((ndev, B), sent, dtype=np.int32)
         unpack = np.full((ndev, B), sent, dtype=np.int32)
-        for s in range(ndev):
-            if pairs[s]:
-                arr = np.asarray(pairs[s], dtype=np.int32)
-                pack[s, : len(arr)] = arr[:, 0]
-                # receiver (s+delta)%ndev unpacks what s packed, same rows
-                unpack[(s + delta) % ndev, : len(arr)] = arr[:, 1]
-        sched.append((delta, pack, unpack))
+        pairs = []
+        for i in ridx:
+            s, o, sl, ol = msgs[i]
+            pack[s, : len(sl)] = sl
+            unpack[o, : len(ol)] = ol
+            pairs.append((s, o))
+        sched.append((tuple(pairs), pack, unpack))
 
     # ownmask
     ownmask = np.zeros(ndev * nloc)
@@ -246,16 +293,17 @@ class HaloTables:
     """Device-side halo-exchange bundle.
 
     The traced part is a plain pytree ``(packs, unpacks, ownmask)`` —
-    tuples of (ndev, B_delta) int32 tables (leading dim sharded under
-    shard_map) and the (ndev*nloc,) owned-slot mask; the ring shifts
-    ``deltas`` are static Python ints.  Kept as a thin namespace rather
-    than a registered pytree so shard_map specs stay explicit."""
+    tuples of (ndev, B_round) int32 tables (leading dim sharded under
+    shard_map) and the (ndev*nloc,) owned-slot mask; the per-round
+    ``perms`` are static ((src, dst), ...) pair tuples.  Kept as a thin
+    namespace rather than a registered pytree so shard_map specs stay
+    explicit."""
 
-    def __init__(self, packs, unpacks, ownmask, deltas):
+    def __init__(self, packs, unpacks, ownmask, perms):
         self.packs = packs
         self.unpacks = unpacks
         self.ownmask = ownmask
-        self.deltas = deltas
+        self.perms = perms
 
     def tree(self):
         return (self.packs, self.unpacks, self.ownmask)
@@ -271,13 +319,14 @@ class HaloTables:
 
 
 def make_halo_tables(hx: HaloExchange, dtype):
-    """-> (tree, deltas): tree = (packs, unpacks, ownmask) pytree of device
-    arrays; deltas = static tuple of ring shifts."""
+    """-> (tree, perms): tree = (packs, unpacks, ownmask) pytree of device
+    arrays; perms = static per-round ((src, dst), ...) pair tuples (fold
+    direction)."""
     packs = tuple(jnp.asarray(p) for _, p, _ in hx.sched)
     unpacks = tuple(jnp.asarray(u) for _, _, u in hx.sched)
     ownmask = jnp.asarray(hx.ownmask, dtype=dtype)
-    deltas = tuple(int(d) for d, _, _ in hx.sched)
-    return (packs, unpacks, ownmask), deltas
+    perms = tuple(tuple(pairs) for pairs, _, _ in hx.sched)
+    return (packs, unpacks, ownmask), perms
 
 
 def halo_tree_specs(tree, axis: str):
@@ -292,28 +341,27 @@ def halo_tree_specs(tree, axis: str):
     )
 
 
-def _ring_perm(ndev: int, delta: int):
-    return [(i, (i + delta) % ndev) for i in range(ndev)]
-
-
-def halo_fold(y: jax.Array, tree, deltas, axis: str):
+def halo_fold(y: jax.Array, tree, perms, axis: str):
     """scatter_reverse(add): push halo contributions to their owners, then
-    zero every non-owned slot.  ``y``: (..., nloc) per shard."""
+    zero every non-owned slot.  ``y``: (..., nloc) per shard.  Each round
+    is ONE ppermute over that round's (halo holder -> owner) pairs;
+    non-participating shards receive zeros and add them to the sentinel
+    slot."""
     packs, unpacks, ownmask = tree
-    n = jax.lax.psum(1, axis)
-    for delta, pack, unpack in zip(deltas, packs, unpacks):
+    for pairs, pack, unpack in zip(perms, packs, unpacks):
         buf = jnp.take(y, pack[0], axis=-1)
-        buf = jax.lax.ppermute(buf, axis, _ring_perm(n, delta))
+        buf = jax.lax.ppermute(buf, axis, pairs)
         y = y.at[..., unpack[0]].add(buf)
     return y * ownmask
 
 
-def halo_refresh(x: jax.Array, tree, deltas, axis: str):
-    """scatter_forward: owners push current values into the halo slots."""
+def halo_refresh(x: jax.Array, tree, perms, axis: str):
+    """scatter_forward: owners push current values into the halo slots
+    (the reversed pair list of each fold round; non-participants set their
+    sentinel slot to the zero fill)."""
     packs, unpacks, _ = tree
-    n = jax.lax.psum(1, axis)
-    for delta, pack, unpack in zip(deltas, packs, unpacks):
+    for pairs, pack, unpack in zip(perms, packs, unpacks):
         buf = jnp.take(x, unpack[0], axis=-1)
-        buf = jax.lax.ppermute(buf, axis, _ring_perm(n, -delta))
+        buf = jax.lax.ppermute(buf, axis, [(o, s) for s, o in pairs])
         x = x.at[..., pack[0]].set(buf)
     return x

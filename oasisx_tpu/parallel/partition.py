@@ -271,44 +271,24 @@ def interface_signatures(cell_dofs: np.ndarray, shard_of: np.ndarray, ndev: int)
     return list(sigs.items())
 
 
-def schedule_cost(sigs, ndev: int, labeling: np.ndarray) -> int:
-    """Exact padded ppermute payload of one halo exchange round under a
-    shard relabeling — the cost ``build_halo_exchange`` realizes:
-    ``sum_delta ndev * max_sender(pairs grouped by ring shift delta)``.
-    Padding matters as much as raw halo size: a chain partition with one
-    uniform delta beats a lower-cut partition with many ragged deltas."""
+def schedule_cost(sigs, ndev: int) -> int:
+    """Exact ppermute payload (slots) of one halo exchange round — the
+    cost ``build_halo_exchange`` realizes with its edge-colored schedule:
+    messages are greedily colored largest-first and each round costs
+    ``len(pairs) * max_size_in_round`` (only participating links move
+    bytes)."""
+    from .graph import color_messages
+
     pairs = np.zeros((ndev, ndev), dtype=np.int64)
     for sig, cnt in sigs:
-        lab = [int(labeling[s]) for s in sig]
-        o = lab[int(np.argmin(lab))]
-        for ls in lab:
-            if ls != o:
-                pairs[ls, o] += cnt
-    acc = np.zeros((ndev, ndev), dtype=np.int64)  # (delta, sender)
+        o = min(sig)
+        for s in sig:
+            if s != o:
+                pairs[s, o] += cnt
     s_idx, o_idx = np.nonzero(pairs)
-    for s, o in zip(s_idx, o_idx):
-        acc[(o - s) % ndev, s] += pairs[s, o]
-    return int(ndev * acc.max(axis=1).sum())
-
-
-def best_labeling(sigs_list, ndev: int) -> tuple[np.ndarray, int]:
-    """Minimize total schedule cost over shard relabelings.
-
-    Brute force over (ndev-1)! labelings for ndev <= 8 (label 0 fixed —
-    cost is invariant to rotations of the ring); identity for larger
-    meshes (the multilevel path is still chosen on exact cost)."""
-    from itertools import permutations
-
-    ident = np.arange(ndev)
-    best = (ident, sum(schedule_cost(s, ndev, ident) for s in sigs_list))
-    if ndev > 8:
-        return best
-    for perm in permutations(range(1, ndev)):
-        lab = np.array((0,) + perm)
-        c = sum(schedule_cost(s, ndev, lab) for s in sigs_list)
-        if c < best[1]:
-            best = (lab, c)
-    return best
+    sizes = [(int(s), int(o), int(pairs[s, o])) for s, o in zip(s_idx, o_idx)]
+    rounds = color_messages(sizes)
+    return sum(len(r) * max(sizes[i][2] for i in r) for r in rounds)
 
 
 def choose_partition(
@@ -318,14 +298,13 @@ def choose_partition(
     dofmaps: list[np.ndarray],
     seed: int = 0,
 ) -> np.ndarray:
-    """Partition + relabel by EXACT exchange cost (VERDICT r4 #3).
+    """Partition by EXACT exchange cost (VERDICT r4 #3).
 
     Builds both candidates — geometric RCB (graph.py) and the multilevel
-    edge-cut partition — evaluates the true padded ppermute payload each
-    would realize for every given dofmap (velocity + pressure spaces)
-    under its best shard relabeling, and returns the cheaper one
-    relabeled.  Guarantees the result is never worse than RCB in the cost
-    the runtime actually pays."""
+    edge-cut partition — evaluates the true edge-colored ppermute payload
+    each would realize for every given dofmap (velocity + pressure
+    spaces), and returns the cheaper one.  Guarantees the result is never
+    worse than RCB in the cost the runtime actually pays."""
     from .graph import rcb_partition
 
     cands = {"rcb": rcb_partition(np.asarray(centroids), ndev)}
@@ -335,12 +314,12 @@ def choose_partition(
         pass
     best_name, best_part, best_cost = None, None, None
     for name, part in cands.items():
-        sigs_list = [
-            interface_signatures(np.asarray(cd), part, ndev) for cd in dofmaps
-        ]
-        lab, cost = best_labeling(sigs_list, ndev)
+        cost = sum(
+            schedule_cost(interface_signatures(np.asarray(cd), part, ndev), ndev)
+            for cd in dofmaps
+        )
         if best_cost is None or cost < best_cost:
-            best_name, best_part, best_cost = name, lab[part], cost
+            best_name, best_part, best_cost = name, part, cost
     import logging
 
     logging.getLogger("oasisx_tpu").info(

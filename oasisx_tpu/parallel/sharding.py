@@ -253,8 +253,8 @@ def shard_problem_halo(
 
     hx_v = build_halo_exchange(np.asarray(ctx.cd_v), shard_of, ndev, cell_perm, B)
     hx_q = build_halo_exchange(np.asarray(ctx.cd_q), shard_of, ndev, cell_perm, B)
-    tree_v, deltas_v = make_halo_tables(hx_v, dtype)
-    tree_q, deltas_q = make_halo_tables(hx_q, dtype)
+    tree_v, perms_v = make_halo_tables(hx_v, dtype)
+    tree_q, perms_q = make_halo_tables(hx_q, dtype)
 
     d = ctx.dim
 
@@ -316,8 +316,8 @@ def shard_problem_halo(
         axis=axis,
         halo_v=tree_v,
         halo_q=tree_q,
-        deltas_v=deltas_v,
-        deltas_q=deltas_q,
+        perms_v=perms_v,
+        perms_q=perms_q,
     )
     new_ctx = _put(mesh, context_specs_halo(new_ctx, axis), new_ctx)
 
@@ -375,8 +375,8 @@ def context_specs_halo(ctx: DeviceContext, axis: str) -> DeviceContext:
         halo_q=halo_tree_specs(ctx.halo_q, axis),
         # static fields must match the value tree's statics exactly or the
         # shard_map treedefs diverge
-        deltas_v=ctx.deltas_v,
-        deltas_q=ctx.deltas_q,
+        perms_v=ctx.perms_v,
+        perms_q=ctx.perms_q,
         sv=ctx.sv,
         sq=ctx.sq,
     )
