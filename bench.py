@@ -20,7 +20,31 @@ this conservative estimate.
 """
 
 CPU_REF_MDOF_PER_S = 0.0381  # scripts/cpu_reference.py -N 36 (see docstring)
+CPU_REF_MDOF_PER_S_UNSTR = None  # measured lazily; see BENCH_MODE below
 CPU_PETSC_ESTIMATE_FACTOR = 8.0  # ~ncores: conservative multi-rank PETSc guess
+
+# BENCH_MODE=unstructured (VERDICT r4 #2): the same TGV problem and mesh
+# TOPOLOGY, but vessel-deformed coordinates (curved centerline + bulge)
+# with mesh.structured=None — the solver loses every structured fast path
+# and runs the general unstructured engine (band-ELL fused Krylov kernels,
+# smoothed-aggregation AMG PCG pressure solve), exactly the code path
+# patient-geometry meshes use.  The scipy CPU reference runs the SAME
+# deformed mesh (scripts/cpu_reference.py --mode unstructured).
+
+
+def deform_vessel(mesh):
+    """Vessel-style deformation of a box mesh (taper + bulge + curved
+    centerline, cf. scripts/make_patient_vessel.py); marks the mesh
+    unstructured."""
+    x = mesh.x.copy()
+    lo, hi = x[:, 0].min(), x[:, 0].max()
+    s = (x[:, 0] - lo) / (hi - lo)
+    r = (1.0 - 0.25 * s) * (1.0 + 0.55 * np.exp(-(((s - 0.55) / 0.12) ** 2)))
+    x[:, 1] = 0.45 * np.sin(np.pi * s) + 1.0 * r * x[:, 1]
+    x[:, 2] = 0.3 * np.sin(np.pi * s * 0.9) + 0.8 * r * x[:, 2]
+    mesh.x[:] = x
+    mesh.structured = None
+    return mesh
 
 import json
 import os
@@ -83,11 +107,13 @@ def probe_backend(attempts=None, probe_timeout=120):
     return None, last_err
 
 
-def build_solver(N, dtype, device_mesh=None, rtol=1e-5):
+def build_solver(N, dtype, device_mesh=None, rtol=1e-5, mode="structured"):
     from oasisx_tpu import DirichletBC, FractionalStep_AB_CN, LocatorMethod
     from oasisx_tpu.meshes import create_box, meshtags
 
     mesh = create_box((-1.0, -1.0, -1.0), (1.0, 1.0, 1.0), (N, N, N))
+    if mode == "unstructured":
+        deform_vessel(mesh)
     facets = mesh.exterior_facet_indices()
     tags = meshtags(mesh, mesh.dim - 1, facets, np.full_like(facets, 1))
 
@@ -148,8 +174,10 @@ def measure(solver, dt, nu, steps=25, windows=5):
 
 
 def main():
+    mode = os.environ.get("BENCH_MODE", "structured")
     meta = {
-        "metric": "3D Taylor-Green IPCS throughput (P2/P1, ~1M velocity DOFs)",
+        "metric": "3D Taylor-Green IPCS throughput (P2/P1, ~1M velocity DOFs)"
+        + (" [unstructured vessel-deformed mesh]" if mode == "unstructured" else ""),
         "unit": "MDOF-updates/s",
     }
     platform, err = probe_backend()
@@ -173,7 +201,7 @@ def main():
     # --- TPU (or default-device) run at ~1M velocity DOFs ------------------
     N = int(os.environ.get("BENCH_N", 36))  # even -> MG hierarchy; P2 dofs (2N+1)^3 = 389k -> 1.167M velocity dofs
     rtol = float(os.environ.get("BENCH_RTOL", 1e-5))
-    solver = build_solver(N, dtype=np.float32, rtol=rtol)
+    solver = build_solver(N, dtype=np.float32, rtol=rtol, mode=mode)
     nvel = 3 * solver._Vi[0][0].num_dofs
     sec_per_step, sec_per_step_best, stats = measure(solver, dt, nu)
     steps_per_sec = 1.0 / sec_per_step
@@ -186,7 +214,7 @@ def main():
     # rtol 1e-6 — within ~20% of headline if the work really is converged.
     rtol_variant = None
     if os.environ.get("BENCH_RTOL_CHECK", "1") == "1" and rtol > 1e-6:
-        solver6 = build_solver(N, dtype=np.float32, rtol=1e-6)
+        solver6 = build_solver(N, dtype=np.float32, rtol=1e-6, mode=mode)
         sps6, _, stats6 = measure(solver6, dt, nu, windows=2)
         rtol_variant = {
             "rtol": 1e-6,
@@ -199,14 +227,17 @@ def main():
         del solver6
 
     # --- CPU reference baseline (same mesh, scipy-CSR IPCS) ----------------
-    cpu_rate = float(os.environ.get("BENCH_CPU_MDOF", CPU_REF_MDOF_PER_S))
-    if os.environ.get("BENCH_CPU_REF") == "live":
+    stored = CPU_REF_MDOF_PER_S if mode == "structured" else CPU_REF_MDOF_PER_S_UNSTR
+    cpu_rate = os.environ.get("BENCH_CPU_MDOF")
+    cpu_rate = float(cpu_rate) if cpu_rate else stored
+    if os.environ.get("BENCH_CPU_REF") == "live" or cpu_rate is None:
         try:
             import subprocess
 
             r = subprocess.run(
-                [sys.executable, "scripts/cpu_reference.py", "-N", str(N), "--steps", "2"],
-                capture_output=True, text=True, timeout=3600,
+                [sys.executable, "scripts/cpu_reference.py", "-N", str(N),
+                 "--steps", "2", "--mode", mode],
+                capture_output=True, text=True, timeout=7200,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
             cpu_rate = json.loads(r.stdout.strip().splitlines()[-1])["cpu_mdof_per_s"]
@@ -215,6 +246,7 @@ def main():
 
     out = {
         **meta,
+        "mode": mode,
         "value": round(mdof_rate, 3),
         "vs_baseline": round(mdof_rate / cpu_rate, 2) if cpu_rate else None,
         "best": round(mdof_rate_best, 3),
@@ -234,12 +266,12 @@ def main():
             if k in stats
         },
         "rtol_variant": rtol_variant,
-        "cpu_ref_mdof_per_s": round(cpu_rate, 4),
-        "cpu_ref": "scipy-CSR IPCS, same 1.17M-dof mesh, single-threaded"
-        " (scripts/cpu_reference.py)",
+        "cpu_ref_mdof_per_s": round(cpu_rate, 4) if cpu_rate else None,
+        "cpu_ref": "scipy-CSR IPCS, same mesh (incl. deformation), "
+        "single-threaded (scripts/cpu_reference.py)",
         "vs_petsc_estimate": round(
             mdof_rate / (cpu_rate * CPU_PETSC_ESTIMATE_FACTOR), 1
-        ),
+        ) if cpu_rate else None,
         "config": getattr(solver, "config_report", lambda: {})(),
     }
     _emit(out)

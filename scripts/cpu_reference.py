@@ -35,7 +35,7 @@ import scipy.sparse as sp
 import scipy.sparse.linalg as spla
 
 
-def build(N):
+def build(N, mode="structured"):
     from oasisx_tpu.assembly import engine as eng
     from oasisx_tpu.assembly.geometry import compute_cell_geometry
     from oasisx_tpu.elements.element import FiniteElement
@@ -43,6 +43,11 @@ def build(N):
     from oasisx_tpu.spaces.functionspace import FunctionSpace
 
     mesh = create_box((-1.0, -1.0, -1.0), (1.0, 1.0, 1.0), (N, N, N))
+    if mode == "unstructured":
+        # same vessel deformation as the TPU bench (bench.deform_vessel)
+        import bench
+
+        bench.deform_vessel(mesh)
     el_u = FiniteElement("Lagrange", mesh.cell_type, 2)
     el_p = FiniteElement("Lagrange", mesh.cell_type, 1)
     V = FunctionSpace(mesh, el_u)
@@ -122,9 +127,9 @@ def _searchsorted_rows(indices, ptr, rows, cols):
     return out
 
 
-def run(N=36, steps=3, dt=2e-3, nu=1.0 / 1600.0, rtol=1e-5):
+def run(N=36, steps=3, dt=2e-3, nu=1.0 / 1600.0, rtol=1e-5, mode="structured"):
     t_setup = time.perf_counter()
-    P = build(N)
+    P = build(N, mode=mode)
     print(f"setup: {time.perf_counter()-t_setup:.1f}s", file=sys.stderr)
     mesh, refs = P["mesh"], P["refs"]
     nv, nq = P["nv"], P["nq"]
@@ -214,6 +219,7 @@ def run(N=36, steps=3, dt=2e-3, nu=1.0 / 1600.0, rtol=1e-5):
         "sec_per_step": round(sec, 3),
         "velocity_dofs": 3 * nv,
         "N": N,
+        "mode": mode,
     }
     print(json.dumps(out))
     return out
@@ -223,5 +229,7 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("-N", type=int, default=36)
     ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--mode", default="structured",
+                    choices=["structured", "unstructured"])
     args = ap.parse_args()
-    run(N=args.N, steps=args.steps)
+    run(N=args.N, steps=args.steps, mode=args.mode)
