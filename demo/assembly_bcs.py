@@ -48,7 +48,7 @@ def run_strategy(solver, dt, nu, repeats):
         ts.append(time.perf_counter() - t0)
     A = solver.tentative_matrix_dense() if solver._Vi[0][0].num_dofs < 20000 else None
     rhs = np.stack([f.x.array for f in solver._rhs1])
-    return min(ts), A, rhs
+    return ts, A, rhs
 
 
 def main(argv=None):
@@ -57,17 +57,23 @@ def main(argv=None):
     parser.add_argument("-n", type=int, default=10)
     parser.add_argument("--max-degree", type=int, default=3)
     parser.add_argument("--repeats", type=int, default=3)
+    parser.add_argument("--outfile", default=None,
+                        help="basename for CSV + swarm-plot outputs")
     args = parser.parse_args(argv)
     dt, nu = 0.05, 0.01
 
+    import jax
+
     mesh = create_unit_cube(args.n) if args.dim == 3 else create_unit_square(3 * args.n)
+    ndev = len(jax.devices())
+    results, j = {}, 0
     print(f"{'P':>3} {'ndofs':>9} {'action [ms]':>12} {'matvec [ms]':>12} {'max|dRHS|':>10}")
     for deg in range(1, args.max_degree + 1):
         rng_state = np.random.RandomState(0)
         s_lm = build(mesh, deg, low_memory=True)
         s_mv = build(mesh, deg, low_memory=False)
-        t_lm, A_lm, rhs_lm = run_strategy(s_lm, dt, nu, args.repeats)
-        t_mv, A_mv, rhs_mv = run_strategy(s_mv, dt, nu, args.repeats)
+        ts_lm, A_lm, rhs_lm = run_strategy(s_lm, dt, nu, args.repeats)
+        ts_mv, A_mv, rhs_mv = run_strategy(s_mv, dt, nu, args.repeats)
         err = np.abs(rhs_lm - rhs_mv).max()
         # tolerance scales with the COMPUTE dtype (Function.x.array is
         # f64 host storage even for f32 device runs): 1e-14-level in f64
@@ -78,7 +84,22 @@ def main(argv=None):
         if A_lm is not None and np.abs(A_lm - A_mv).max() > rtol * np.abs(A_lm).max():
             raise RuntimeError("matrix mismatch between strategies")
         ndofs = s_lm._Vi[0][0].num_dofs
-        print(f"{deg:>3} {ndofs:>9} {t_lm*1e3:>12.2f} {t_mv*1e3:>12.2f} {err:>10.2e}")
+        print(
+            f"{deg:>3} {ndofs:>9} {min(ts_lm)*1e3:>12.2f} "
+            f"{min(ts_mv)*1e3:>12.2f} {err:>10.2e}"
+        )
+        for method, ts in (("action", ts_lm), ("matvec", ts_mv)):
+            for t in ts:
+                results[j] = {
+                    "P": deg, "num_dofs": ndofs, "method": method,
+                    "time (s)": t, "procs": ndev,
+                }
+                j += 1
+    # statistical reporting at the reference's depth (mean/std over
+    # repeats, optional CSV + swarm plot — assembly_strategies.report)
+    from assembly_strategies import report
+
+    report(results, args.outfile)
 
 
 if __name__ == "__main__":

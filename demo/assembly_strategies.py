@@ -61,7 +61,48 @@ def bench_degree(mesh, du, dp, repeats=3):
         t0 = time.perf_counter()
         jax.block_until_ready(matvec(ctx, mats, pj))
         t_matvec.append(time.perf_counter() - t0)
-    return V.num_dofs, min(t_action), min(t_matvec)
+    return V.num_dofs, t_action, t_matvec
+
+
+def report(results: dict, outfile: str | None):
+    """Aggregate + visualize per-repeat timings — the reporting depth of
+    the reference (demo/assembly_strategies.py:196-234: per-rank results
+    dict -> pandas DataFrame -> seaborn catplot).  Prints a mean/std/min
+    table; with ``outfile`` also writes <outfile>.csv and <outfile>.png."""
+    try:
+        import pandas as pd
+    except ImportError:  # pragma: no cover - pandas is in the image
+        return
+    df = pd.DataFrame.from_dict(results, orient="index")
+    agg = (
+        df.groupby(["P", "num_dofs", "method", "procs"])["time (s)"]
+        .agg(["mean", "std", "min", "count"])
+        .reset_index()
+    )
+    with pd.option_context("display.float_format", lambda v: f"{v*1e3:10.3f}ms"
+                           if v < 10 else f"{v:10.1f}"):
+        print(agg.to_string(index=False))
+    if outfile:
+        df.to_csv(f"{outfile}.csv", index=False)
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            import seaborn
+
+            df = df.assign(
+                label="P" + df["P"].astype(str) + " " + df["num_dofs"].astype(str)
+                + "\nprocs: " + df["procs"].astype(str)
+            )
+            plot = seaborn.catplot(
+                data=df, kind="swarm", x="label", y="time (s)", hue="method"
+            )
+            plot.set(yscale="log")
+            plt.grid()
+            plt.savefig(f"{outfile}.png")
+        except ImportError:  # pragma: no cover
+            pass
 
 
 def main(argv=None):
@@ -70,13 +111,23 @@ def main(argv=None):
     parser.add_argument("--max-degree", type=int, default=4)
     parser.add_argument("-n", type=int, default=12, help="mesh resolution")
     parser.add_argument("--repeats", type=int, default=3)
+    parser.add_argument("--outfile", default=None,
+                        help="basename for CSV + swarm-plot outputs")
     args = parser.parse_args(argv)
 
     mesh = create_unit_cube(args.n) if args.dim == 3 else create_unit_square(args.n * 3)
-    print(f"{'P':>3} {'ndofs':>10} {'action [ms]':>12} {'matvec [ms]':>12} {'ratio':>7}")
+    ndev = len(jax.devices())
+    results, j = {}, 0
     for du in range(1, args.max_degree + 1):
-        ndofs, ta, tm = bench_degree(mesh, du, max(du - 1, 1), args.repeats)
-        print(f"{du:>3} {ndofs:>10} {ta*1e3:>12.3f} {tm*1e3:>12.3f} {tm/ta:>7.2f}")
+        ndofs, ts_a, ts_m = bench_degree(mesh, du, max(du - 1, 1), args.repeats)
+        for method, ts in (("action", ts_a), ("matvec", ts_m)):
+            for t in ts:
+                results[j] = {
+                    "P": du, "num_dofs": ndofs, "method": method,
+                    "time (s)": t, "procs": ndev,
+                }
+                j += 1
+    report(results, args.outfile)
 
 
 if __name__ == "__main__":

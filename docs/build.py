@@ -100,9 +100,12 @@ def main() -> int:
             output = "(execution skipped)"
         else:
             cmd = [sys.executable, str(ROOT / "demo" / f"{name}.py"), *flags]
-            if os.environ.get("DOCS_FORCE_CPU"):
-                # some images pre-import jax on an accelerator platform and
-                # ignore JAX_PLATFORMS; force CPU before the demo executes
+            if not os.environ.get("DOCS_ON_DEVICE"):
+                # DEFAULT: force CPU before the demo executes.  Some images
+                # pre-import jax on an accelerator platform and ignore
+                # JAX_PLATFORMS; docs numbers should be deterministic and a
+                # docs build must never contend with a TPU benchmark
+                # (single-client relay).  Set DOCS_ON_DEVICE=1 to opt out.
                 cmd = [
                     sys.executable, "-c",
                     "import sys, jax; jax.config.update('jax_platforms', 'cpu');"
