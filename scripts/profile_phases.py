@@ -28,16 +28,16 @@ f_rhs = jax.jit(lambda P, bf, ps: solver._tentative_assemble_dev(P, bf, ps))
 rhs1 = f_rhs(P, b_first, state["p"])
 
 f_solve = jax.jit(lambda P, A, r1, bc, u: solver._tentative_solve_dev(P, A, r1, bc, u))
-u_new, diff, it_u, cv = f_solve(P, A_lhs, rhs1, bc_vals, state["u"])
+u_new, diff, it_u, cv, _res = f_solve(P, A_lhs, rhs1, bc_vals, state["u"])
 
 f_b2 = jax.jit(lambda P, u: solver._pressure_assemble_dev(P, u, dt_))
 b2 = f_b2(P, u_new)
 
 f_p = jax.jit(lambda P, b2, p, dp, u: solver._pressure_solve_dev(P, b2, p, dp, u, nu_))
-dp, ps, it_p, cvp = f_p(P, b2, state["p"], state["dp"], u_new)
+dp, ps, it_p, cvp, _pres = f_p(P, b2, state["p"], state["dp"], u_new)
 
 f_vu = jax.jit(lambda P, u, dp: solver._velocity_update_dev(P, u, dp, dt_))
-u2_, it_c, cvc = f_vu(P, u_new, dp)
+u2_, it_c, cvc, _cres = f_vu(P, u_new, dp)
 jax.block_until_ready(u2_)
 print("iters: u", np.asarray(it_u), "p", int(it_p), "c", np.asarray(it_c))
 
