@@ -937,6 +937,14 @@ class FractionalStep_AB_CN:
                     sm_v, sm_q, np.asarray(self._cu.G_c, np.float64), d,
                     interpret=interp,
                 )
+            if 4.5 * vstate_bytes <= _VMEM_BUDGET:
+                # whole-state VMEM in + out + per-slot-pair accumulators:
+                # measured scoped footprint is ~4.35x the state (the 2.4x
+                # estimate OOM'd the 100 MB scoped-vmem limit at N=64 —
+                # f32[3,8,65,4225] mv needed 114.77 MB, remote-compile
+                # failure 2026-08-20); past this budget the HBM
+                # assemble-first branch falls back to the cube-op mass
+                # matvec and the velocity update to the stepped CG kernels
                 self._pf_mass_mv = po.make_matvec_pf(
                     sm_v, np.asarray(self._cu.M_c, np.float64), d, interpret=interp
                 )
