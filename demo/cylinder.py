@@ -62,9 +62,36 @@ def main(argv=None):
     parser.add_argument("-nu", type=float, default=1e-3)
     parser.add_argument("--chunk", type=int, default=200,
                         help="steps per on-device run() window")
+    parser.add_argument("--refine-levels", type=int, default=0,
+                        help="red-green refinement levels near the cylinder"
+                        " (curved-boundary projection at every level)")
+    parser.add_argument("--refine-dist", type=float, default=2.5,
+                        help="refine cells within this many radii of the center")
     args = parser.parse_args(argv)
 
     mesh = create_cylinder_channel(args.res)
+    if args.refine_levels:
+        # boundary-layer resolution at the cylinder (FIDELITY: Cd_max /
+        # Cl_amp vs the Schaefer-Turek band; the coarse polygon boundary
+        # is what overshoots the drag).  Midpoints of circle edges are
+        # re-projected, so the polygon error shrinks O(h^2) per level.
+        from oasisx_tpu.meshes.generation import refine_triangles
+
+        c = np.asarray(CENTER)
+        r = D / 2
+
+        def project(p):
+            d = np.linalg.norm(p - c, axis=1)
+            on = np.abs(d - r) < 0.3 * r
+            q = p.copy()
+            q[on] = c + (p[on] - c) * (r / d[on])[:, None]
+            return q
+
+        for _ in range(args.refine_levels):
+            cent = mesh.x[mesh.cells].mean(axis=1)
+            markd = np.linalg.norm(cent - c, axis=1) < r * args.refine_dist
+            mesh = refine_triangles(mesh, markd, project=project)
+        logger.info("refined mesh: %d cells", len(mesh.cells))
     dim = 1
     inlet_f = locate_entities_boundary(mesh, dim, lambda x: np.isclose(x[0], 0.0))
     outlet_f = locate_entities_boundary(mesh, dim, lambda x: np.isclose(x[0], L))

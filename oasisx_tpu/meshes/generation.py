@@ -159,10 +159,205 @@ def create_cylinder_channel(
     # compact vertex numbering
     remap = -np.ones(len(pts), dtype=np.int64)
     remap[used] = np.arange(len(used))
-    mesh = Mesh(pts[used], remap[cells], "triangle")
+    pts_u, cells_u = pts[used], remap[cells]
+
+    # --- unfold + equidistribute the circle polygon -----------------------
+    # Snapping a lattice band onto the circle can FOLD the boundary: two
+    # lattice vertices land at nearly the same angle, connected through
+    # the interior rather than directly — near-duplicate boundary dofs
+    # that destroy conditioning (and, under refinement, the solve).  Walk
+    # the circle boundary cycle and re-space its vertices uniformly in
+    # angle along the cycle order; then Laplacian-smooth the nearby
+    # interior vertices against the new positions.
+    nvu = len(pts_u)
+    edges = np.vstack([
+        np.sort(cells_u[:, [1, 2]], axis=1),
+        np.sort(cells_u[:, [0, 2]], axis=1),
+        np.sort(cells_u[:, [0, 1]], axis=1),
+    ])
+    ek, cnt = np.unique(edges[:, 0] * nvu + edges[:, 1], return_counts=True)
+    bed = np.stack([ek[cnt == 1] // nvu, ek[cnt == 1] % nvu], axis=1)
+    du = np.linalg.norm(pts_u - c, axis=1)
+    # the hole polygon mixes snapped (on-circle) and near-circle vertices;
+    # take every boundary edge in the hole band and put the WHOLE cycle
+    # on the circle at uniform angles
+    onc = du < radius + 1.5 * h
+    cyc_ed = bed[onc[bed[:, 0]] & onc[bed[:, 1]]]
+    if len(cyc_ed):
+        nbr: dict[int, list[int]] = {}
+        for a, b in cyc_ed:
+            nbr.setdefault(int(a), []).append(int(b))
+            nbr.setdefault(int(b), []).append(int(a))
+        if all(len(v) == 2 for v in nbr.values()):
+            start = min(nbr)
+            cycle = [start, nbr[start][0]]
+            while cycle[-1] != start:
+                a, b = nbr[cycle[-1]]
+                cycle.append(a if a != cycle[-2] else b)
+            cycle = cycle[:-1]
+            if len(cycle) == len(nbr):
+                th = np.arctan2(*(pts_u[cycle] - c).T[::-1])
+                # preserve the walk orientation (sum of wrapped steps)
+                steps = np.angle(np.exp(1j * np.diff(np.r_[th, th[0]])))
+                sgn = 1.0 if steps.sum() > 0 else -1.0
+                th_new = th[0] + sgn * 2 * np.pi * np.arange(len(cycle)) / len(cycle)
+                pts_u[cycle, 0] = c[0] + radius * np.cos(th_new)
+                pts_u[cycle, 1] = c[1] + radius * np.sin(th_new)
+        # smooth interior vertices near the circle (boundary fixed)
+        is_bnd = np.zeros(nvu, dtype=bool)
+        is_bnd[bed.ravel()] = True
+        free = (~is_bnd) & (du < radius + 3.0 * h)
+        if free.any():
+            a_all = np.concatenate([edges[:, 0], edges[:, 1]])
+            b_all = np.concatenate([edges[:, 1], edges[:, 0]])
+            deg = np.bincount(a_all, minlength=nvu).astype(float)
+            for _ in range(20):
+                acc = np.zeros_like(pts_u)
+                np.add.at(acc, a_all, pts_u[b_all])
+                new = acc / np.maximum(deg, 1.0)[:, None]
+                pts_u[free] = new[free]
+
+    mesh = Mesh(pts_u, cells_u, "triangle")
     vols = mesh.cell_volumes()
     if vols.min() <= 1e-12 * vols.max():
         raise ValueError(
             "degenerate cells after cylinder projection; increase resolution"
         )
     return mesh
+
+
+def refine_triangles(mesh: Mesh, mark: np.ndarray, project=None) -> Mesh:
+    """Conforming red-green refinement of a triangle mesh.
+
+    ``mark``: boolean per cell.  Marked cells are red-split into 4
+    children via edge midpoints; closure: any cell with >= 2 split edges
+    is promoted to red, cells with exactly one split edge are green-split
+    into 2 (no hanging nodes).  ``project(pts) -> pts`` is applied to
+    midpoints of edges whose BOTH endpoints it moves (within 1e-12), so
+    curved boundaries (e.g. the DFG cylinder circle) regain their shape
+    at every level instead of freezing the coarse polygon.
+
+    The reference gets graded boundary-fitted meshes from Gmsh via
+    DOLFINx; this is the in-repo equivalent for locally resolving the
+    cylinder boundary layer (FIDELITY: Cd/Cl vs the Schaefer-Turek band).
+    """
+    cells = np.asarray(mesh.cells)
+    pts = np.asarray(mesh.x)
+    nc = len(cells)
+    mark = np.asarray(mark, bool).copy()
+
+    # cell edges as sorted vertex pairs; edge key = min * nv + max
+    nv = len(pts)
+    e_local = [(1, 2), (0, 2), (0, 1)]  # edge i is opposite vertex i
+    cell_edges = np.stack(
+        [np.sort(cells[:, list(le)], axis=1) for le in e_local], axis=1
+    )  # (nc, 3, 2)
+    keys = cell_edges[:, :, 0].astype(np.int64) * nv + cell_edges[:, :, 1]
+    ukeys, inv, ucnt = np.unique(keys, return_inverse=True, return_counts=True)
+    inv = inv.reshape(nc, 3)
+
+    # closure iteration: split all edges of marked cells; promote cells
+    # with >= 2 split edges to marked
+    split = np.zeros(len(ukeys), dtype=bool)
+    while True:
+        split[inv[mark].ravel()] = True
+        nsplit = split[inv].sum(axis=1)
+        promote = (~mark) & (nsplit >= 2)
+        if not promote.any():
+            break
+        mark |= promote
+
+    # midpoint vertices for split edges
+    eidx = np.where(split)[0]
+    mid_id = np.full(len(ukeys), -1, dtype=np.int64)
+    mid_id[eidx] = nv + np.arange(len(eidx))
+    va = (ukeys[eidx] // nv).astype(np.int64)
+    vb = (ukeys[eidx] % nv).astype(np.int64)
+    mids = 0.5 * (pts[va] + pts[vb])
+    if project is not None and len(mids):
+        pa, pb = project(pts[va].copy()), project(pts[vb].copy())
+        on_a = np.linalg.norm(pa - pts[va], axis=1) < 1e-12
+        on_b = np.linalg.norm(pb - pts[vb], axis=1) < 1e-12
+        # BOUNDARY edges only: an interior secant whose endpoints both lie
+        # on the curve must keep its straight midpoint (projecting it
+        # would park a new vertex on top of the boundary polygon)
+        curved = on_a & on_b & (ucnt[eidx] == 1)
+        if curved.any():
+            mids[curved] = project(mids[curved].copy())
+    new_pts = np.vstack([pts, mids])
+
+    new_cells = []
+    red = np.where(mark)[0]
+    green1 = np.where((~mark) & (split[inv].sum(axis=1) == 1))[0]
+    keep = np.where((~mark) & (split[inv].sum(axis=1) == 0))[0]
+    new_cells.append(cells[keep])
+    # red: 4 children from (v0, v1, v2) and midpoints (m0, m1, m2)
+    if len(red):
+        v = cells[red]
+        m = mid_id[inv[red]]
+        assert (m >= 0).all()
+        new_cells.append(np.stack([v[:, 0], m[:, 2], m[:, 1]], axis=1))
+        new_cells.append(np.stack([v[:, 1], m[:, 0], m[:, 2]], axis=1))
+        new_cells.append(np.stack([v[:, 2], m[:, 1], m[:, 0]], axis=1))
+        new_cells.append(m)
+    # green: bisect by connecting the split edge's midpoint to the
+    # opposite vertex
+    if len(green1):
+        v = cells[green1]
+        m = mid_id[inv[green1]]
+        which = np.argmax(m >= 0, axis=1)
+        rows = np.arange(len(green1))
+        mm = m[rows, which]
+        vo = v[rows, which]  # opposite vertex of the split edge
+        e = np.asarray(e_local)[which]
+        v1 = v[rows, e[:, 0]]
+        v2 = v[rows, e[:, 1]]
+        new_cells.append(np.stack([vo, v1, mm], axis=1))
+        new_cells.append(np.stack([vo, mm, v2], axis=1))
+    all_cells = np.vstack(new_cells)
+
+    # quality guard: projecting a midpoint onto the curve can land it
+    # (nearly) on top of an existing snapped vertex, creating sliver
+    # cells that blow up the solve.  Scale-invariant quality
+    # q = 2*vol/lmax^2; for cells with q < 0.05 revert their midpoint
+    # vertices to the straight edge midpoints (isolated flat spots on the
+    # polygon are harmless; slivers are not).
+    def quality(p, cl):
+        a, b, cc = p[cl[:, 0]], p[cl[:, 1]], p[cl[:, 2]]
+        vol = 0.5 * np.abs(
+            (b[:, 0] - a[:, 0]) * (cc[:, 1] - a[:, 1])
+            - (b[:, 1] - a[:, 1]) * (cc[:, 0] - a[:, 0])
+        )
+        lmax = np.maximum(
+            np.maximum(
+                ((b - a) ** 2).sum(1), ((cc - b) ** 2).sum(1)
+            ),
+            ((a - cc) ** 2).sum(1),
+        )
+        return 2.0 * vol / np.maximum(lmax, 1e-300)
+
+    if project is not None and len(mids):
+        straight = 0.5 * (pts[va] + pts[vb])
+        for _ in range(3):
+            q = quality(new_pts, all_cells)
+            bad = q < 0.05
+            if not bad.any():
+                break
+            bad_verts = np.unique(all_cells[bad])
+            bad_mids = bad_verts[bad_verts >= nv] - nv
+            if not len(bad_mids):
+                break
+            new_pts[nv + bad_mids] = straight[bad_mids]
+
+    out = Mesh(new_pts, all_cells, "triangle")
+    vols = out.cell_volumes()
+    # orientation repair: children inherit parent orientation up to
+    # midpoint ordering; flip any negatively-oriented cells
+    if (vols <= 0).any():
+        neg = vols <= 0
+        c = out.cells.copy()
+        c[neg] = c[neg][:, [0, 2, 1]]
+        out = Mesh(new_pts, c, "triangle")
+        vols = out.cell_volumes()
+    assert (vols > 0).all()
+    return out

@@ -93,3 +93,72 @@ def test_h():
     m = create_unit_square(4)
     h = m.h()
     assert np.allclose(h, np.sqrt(2) / 4)
+
+
+def test_refine_triangles_conforming_and_curved():
+    """Red-green refinement: conforming (every interior edge shared by
+    exactly 2 cells), positive volumes, curved-boundary midpoints
+    reprojected (circle vertex count doubles per level), and no secant
+    artifacts (no non-edge vertex pair closer than half the min edge)."""
+    import numpy as np
+
+    from oasisx_tpu.meshes.generation import create_cylinder_channel, refine_triangles
+
+    c = np.array([0.2, 0.2])
+    r = 0.05
+
+    def project(p):
+        d = np.linalg.norm(p - c, axis=1)
+        on = np.abs(d - r) < 0.3 * r
+        q = p.copy()
+        q[on] = c + (p[on] - c) * (r / d[on])[:, None]
+        return q
+
+    m = create_cylinder_channel(20)
+    n_circ_prev = int((np.abs(np.linalg.norm(m.x - c, axis=1) - r) < 1e-9).sum())
+    for _ in range(2):
+        cent = m.x[m.cells].mean(axis=1)
+        mark = np.linalg.norm(cent - c, axis=1) < r * 2.5
+        m = refine_triangles(m, mark, project=project)
+        assert (m.cell_volumes() > 0).all()
+        nv = len(m.x)
+        cl = m.cells
+        e = np.vstack([np.sort(cl[:, [1, 2]], axis=1),
+                       np.sort(cl[:, [0, 2]], axis=1),
+                       np.sort(cl[:, [0, 1]], axis=1)])
+        k = e[:, 0] * nv + e[:, 1]
+        _, cnt = np.unique(k, return_counts=True)
+        assert cnt.max() == 2  # conforming
+        n_circ = int((np.abs(np.linalg.norm(m.x - c, axis=1) - r) < 1e-9).sum())
+        # ~doubles per level (the quality guard may keep a straight
+        # midpoint at isolated spots)
+        assert 2 * n_circ_prev - 3 <= n_circ <= 2 * n_circ_prev, (
+            n_circ, n_circ_prev,
+        )
+        n_circ_prev = n_circ
+    # crowding guard: nearest non-identical vertex distance is a healthy
+    # fraction of the min edge length (secant-projection artifact check)
+    from scipy.spatial import cKDTree
+
+    dd, _ = cKDTree(m.x).query(m.x, k=2)
+    emin = min(
+        np.linalg.norm(m.x[cl[:, a]] - m.x[cl[:, b]], axis=1).min()
+        for a, b in [(0, 1), (1, 2), (0, 2)]
+    )
+    assert dd[:, 1].min() > 0.4 * emin
+
+
+def test_refine_triangles_interior_only():
+    """Refining a block in a rectangle: counts and conformity."""
+    import numpy as np
+
+    from oasisx_tpu.meshes import create_rectangle
+    from oasisx_tpu.meshes.generation import refine_triangles
+
+    m = create_rectangle((0, 0), (1, 1), (4, 4))
+    cent = m.x[m.cells].mean(axis=1)
+    mark = (cent[:, 0] < 0.5) & (cent[:, 1] < 0.5)
+    m2 = refine_triangles(m, mark)
+    assert len(m2.cells) > len(m.cells)
+    assert (m2.cell_volumes() > 0).all()
+    assert np.isclose(m2.cell_volumes().sum(), 1.0)
