@@ -20,7 +20,9 @@ this conservative estimate.
 """
 
 CPU_REF_MDOF_PER_S = 0.0381  # scripts/cpu_reference.py -N 36 (see docstring)
-CPU_REF_MDOF_PER_S_UNSTR = None  # measured lazily; see BENCH_MODE below
+# scripts/cpu_reference.py -N 36 --mode unstructured, measured 2026-08-20
+# on this machine: 23.35 s/step = 0.050 MDOF-updates/s
+CPU_REF_MDOF_PER_S_UNSTR = 0.050
 CPU_PETSC_ESTIMATE_FACTOR = 8.0  # ~ncores: conservative multi-rank PETSc guess
 
 # BENCH_MODE=unstructured (VERDICT r4 #2): the same TGV problem and mesh

@@ -179,8 +179,11 @@ def create_cylinder_channel(
     bed = np.stack([ek[cnt == 1] // nvu, ek[cnt == 1] % nvu], axis=1)
     du = np.linalg.norm(pts_u - c, axis=1)
     # the hole polygon mixes snapped (on-circle) and near-circle vertices;
-    # take every boundary edge in the hole band and put the WHOLE cycle
-    # on the circle at uniform angles
+    # walk the whole cycle and enforce MONOTONE angles with a minimum
+    # angular gap (radii untouched): folds collapse two vertices to
+    # near-identical angles without a connecting edge, which crowds dofs
+    # and makes refinement-time circle projection create near-duplicate
+    # vertices that blow up the solve
     onc = du < radius + 1.5 * h
     cyc_ed = bed[onc[bed[:, 0]] & onc[bed[:, 1]]]
     if len(cyc_ed):
@@ -196,26 +199,27 @@ def create_cylinder_channel(
                 cycle.append(a if a != cycle[-2] else b)
             cycle = cycle[:-1]
             if len(cycle) == len(nbr):
+                n_cyc = len(cycle)
                 th = np.arctan2(*(pts_u[cycle] - c).T[::-1])
-                # preserve the walk orientation (sum of wrapped steps)
                 steps = np.angle(np.exp(1j * np.diff(np.r_[th, th[0]])))
                 sgn = 1.0 if steps.sum() > 0 else -1.0
-                th_new = th[0] + sgn * 2 * np.pi * np.arange(len(cycle)) / len(cycle)
-                pts_u[cycle, 0] = c[0] + radius * np.cos(th_new)
-                pts_u[cycle, 1] = c[1] + radius * np.sin(th_new)
-        # smooth interior vertices near the circle (boundary fixed)
-        is_bnd = np.zeros(nvu, dtype=bool)
-        is_bnd[bed.ravel()] = True
-        free = (~is_bnd) & (du < radius + 3.0 * h)
-        if free.any():
-            a_all = np.concatenate([edges[:, 0], edges[:, 1]])
-            b_all = np.concatenate([edges[:, 1], edges[:, 0]])
-            deg = np.bincount(a_all, minlength=nvu).astype(float)
-            for _ in range(20):
-                acc = np.zeros_like(pts_u)
-                np.add.at(acc, a_all, pts_u[b_all])
-                new = acc / np.maximum(deg, 1.0)[:, None]
-                pts_u[free] = new[free]
+                th_m = sgn * th  # monotone-increasing walk direction
+                gmin = 0.25 * 2 * np.pi / n_cyc
+                th_fix = th_m.copy()
+                for i in range(1, n_cyc):
+                    th_fix[i] = th_fix[i - 1] + max(
+                        gmin, np.angle(np.exp(1j * (th_m[i] - th_fix[i - 1])))
+                    )
+                # rescale so the cycle still closes over exactly 2*pi
+                span = th_fix[-1] - th_fix[0] + max(
+                    gmin, np.angle(np.exp(1j * (th_m[0] - th_fix[-1])))
+                )
+                th_new = sgn * (
+                    th_fix[0] + (th_fix - th_fix[0]) * 2 * np.pi / span
+                )
+                d_cyc = du[cycle]
+                pts_u[cycle, 0] = c[0] + d_cyc * np.cos(th_new)
+                pts_u[cycle, 1] = c[1] + d_cyc * np.sin(th_new)
 
     mesh = Mesh(pts_u, cells_u, "triangle")
     vols = mesh.cell_volumes()
