@@ -136,15 +136,20 @@ def build_solver(N, dtype, device_mesh=None, rtol=1e-5, mode="structured"):
     scalar_opts = dict(opts)
     if os.environ.get("BENCH_SCALAR_PC"):  # e.g. "lumped" (weighted-gradient update)
         scalar_opts["pc_type"] = os.environ["BENCH_SCALAR_PC"]
+    pressure_opts = dict(opts)
+    if os.environ.get("BENCH_PRESSURE_PC"):  # e.g. "cheb" (bypass AMG)
+        pressure_opts["pc_type"] = os.environ["BENCH_PRESSURE_PC"]
     solver = FractionalStep_AB_CN(
         mesh,
         ("Lagrange", 2),
         ("Lagrange", 1),
         bcs_u=bcs_u,
         bcs_p=[],
-        solver_options={"tentative": dict(opts), "pressure": dict(opts), "scalar": scalar_opts},
+        solver_options={"tentative": dict(opts), "pressure": pressure_opts, "scalar": scalar_opts},
         options={
             "low_memory_version": os.environ.get("BENCH_LOW_MEMORY", "0") == "1",
+            # extra solver options as JSON, e.g. '{"pallas": false}'
+            **json.loads(os.environ.get("BENCH_OPTIONS", "{}")),
         },
         dtype=dtype,
         device_mesh=device_mesh,
@@ -203,9 +208,24 @@ def main():
     # --- TPU (or default-device) run at ~1M velocity DOFs ------------------
     N = int(os.environ.get("BENCH_N", 36))  # even -> MG hierarchy; P2 dofs (2N+1)^3 = 389k -> 1.167M velocity dofs
     rtol = float(os.environ.get("BENCH_RTOL", 1e-5))
-    solver = build_solver(N, dtype=np.float32, rtol=rtol, mode=mode)
-    nvel = 3 * solver._Vi[0][0].num_dofs
-    sec_per_step, sec_per_step_best, stats = measure(solver, dt, nu)
+    # the relay worker nondeterministically crashes on large gather-heavy
+    # (unstructured) programs (isolated 2026-08-20: N=24 crashed where
+    # N=36 passed minutes later, no Pallas kernels in either program);
+    # a fresh attempt usually succeeds
+    attempts = int(os.environ.get("BENCH_ATTEMPTS", 2))
+    for att in range(attempts):
+        try:
+            solver = build_solver(N, dtype=np.float32, rtol=rtol, mode=mode)
+            nvel = 3 * solver._Vi[0][0].num_dofs
+            sec_per_step, sec_per_step_best, stats = measure(solver, dt, nu)
+            break
+        except Exception as e:
+            if att + 1 == attempts:
+                raise
+            print(f"measurement attempt {att + 1} failed ({type(e).__name__}:"
+                  f" {str(e)[:200]}); retrying", file=sys.stderr)
+            del solver
+            time.sleep(30)
     steps_per_sec = 1.0 / sec_per_step
     mdof_rate = nvel * steps_per_sec / 1e6
     mdof_rate_best = nvel / sec_per_step_best / 1e6
