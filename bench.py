@@ -139,6 +139,8 @@ def build_solver(N, dtype, device_mesh=None, rtol=1e-5, mode="structured"):
     pressure_opts = dict(opts)
     if os.environ.get("BENCH_PRESSURE_PC"):  # e.g. "cheb" (bypass AMG)
         pressure_opts["pc_type"] = os.environ["BENCH_PRESSURE_PC"]
+    # extra pressure solver options as JSON, e.g. '{"amg_pre": 2}'
+    pressure_opts.update(json.loads(os.environ.get("BENCH_PRESSURE_OPTS", "{}")))
     solver = FractionalStep_AB_CN(
         mesh,
         ("Lagrange", 2),

@@ -1609,6 +1609,11 @@ class FractionalStep_AB_CN:
                 rows, cols, vals, n, dtype=self._dtype,
                 theta=float(popts.get("amg_theta", 0.25)),
                 coarse_max=int(popts.get("amg_coarse_max", 400)),
+                # V(2,2): on deformed/graded simplex meshes V(1,1) left
+                # 3-4x more PCG iterations (68-92 vs 17-23 on the deformed
+                # box) — the extra smoothing pays for itself several times
+                pre=int(popts.get("amg_pre", 2)),
+                post=int(popts.get("amg_post", 2)),
                 nullvec=nv,
                 dof_shard=dof_shard,
             )
@@ -1722,13 +1727,14 @@ class FractionalStep_AB_CN:
         )
 
     def _make_amg_dist_M(self, matvec):
-        """Distributed AMG V(1,1) apply for graph-halo runs: fine-level
-        smoothing/residual through the per-shard operator ``matvec`` (the
-        same halo'd application CG uses), per-shard partial restriction +
-        one (nagg,) psum, replicated coarse cycle, local prolongation.
-        Mathematically identical to ``AlgebraicMG.vcycle`` with the same
-        shard-pure aggregation (pre=post=1 as built by ``_build_amg``) —
-        only the data movement differs."""
+        """Distributed AMG V(pre,post) apply for graph-halo runs:
+        fine-level smoothing/residual through the per-shard operator
+        ``matvec`` (the same halo'd application CG uses), per-shard
+        partial restriction + one (nagg,) psum, replicated coarse cycle,
+        local prolongation.  Mathematically identical to
+        ``AlgebraicMG.vcycle`` with the same shard-pure aggregation and
+        the same pre/post sweep counts — only the data movement
+        differs."""
         t = self._amg_dist
         amg = self._amg
         axis = self._axis
@@ -1740,13 +1746,16 @@ class FractionalStep_AB_CN:
             if amg.nullvec is not None:
                 r = r - (jax.lax.psum(jnp.vdot(own, r), axis) / n_own) * own
             z = sm0 * r
+            for _ in range(amg.pre - 1):
+                z = z + sm0 * (r - matvec(z))
             res = r - matvec(z)
             rc = jax.lax.psum(
                 jnp.sum(t["Rvals"][s] * res[t["Rcols"][s]], axis=-1), axis
             )
             zc = amg.cycle_coarse(rc)
             z = z + jnp.sum(t["Pvals"][s] * zc[t["Pcols"][s]], axis=-1)
-            z = z + sm0 * (r - matvec(z))
+            for _ in range(amg.post):
+                z = z + sm0 * (r - matvec(z))
             if amg.nullvec is not None:
                 z = z - (jax.lax.psum(jnp.vdot(own, z), axis) / n_own) * own
             return z
@@ -3295,12 +3304,29 @@ class FractionalStep_AB_CN:
         return [jnp.asarray(np.stack(r), dtype=self._dtype) for r in rows]
 
     def _run_window_bound(self):
-        """Max steps per device execution in :meth:`run` (None = no bound)."""
+        """Max steps per device execution in :meth:`run` (None = no bound).
+
+        Round-5 crash isolation (scripts/exec_duration_probe.py,
+        scripts/isolate_unstr.py, 2026-08-20): the STRUCTURED path
+        survives single executions of 11,000 steps (254 s wall) — no
+        bound needed; the relay worker nondeterministically crashes on
+        large gather-heavy UNSTRUCTURED programs, with crash probability
+        growing with per-execution scan length (N=36 XLA path: 10-step
+        scans pass, 25-step scans crashed 3/3) and mesh size (N<=16
+        never crashed). No custom kernel is involved (the crashing
+        programs had every Pallas family disabled), so this is an
+        infra-side per-execution resource limit; windows bound the
+        exposure and a caller-level retry recovers the rest."""
         w = self._scan_window_opt
         if w != "auto":
             return None if w in (None, 0) else int(w)
-        if self._ell_single is not None and jax.default_backend() == "tpu":
-            return 500
+        if jax.default_backend() != "tpu":
+            return None
+        if self._ell_single is not None:
+            return 500  # band/flat-ELL kernels: 8x500 proven on-chip
+        if self._cu is None and self._slab is None and self._hx_v is None:
+            # general unstructured XLA path: keep executions small
+            return 8
         return None
 
     def run(
