@@ -313,7 +313,7 @@ def _supervised():
     (default 2400) and forwards the child's final JSON line; on
     timeout/rc!=0 it emits an error JSON with rc 0.
     """
-    tmo = float(os.environ.get("BENCH_TIMEOUT", 2400))
+    tmo = float(os.environ.get("BENCH_TIMEOUT", 3600))
     meta = {"metric": "3D Taylor-Green IPCS throughput (P2/P1, ~1M velocity DOFs)",
             "unit": "MDOF-updates/s"}
     env = dict(os.environ, BENCH_CHILD="1")
