@@ -97,6 +97,7 @@ def main(argv=None):
                 j += 1
     # statistical reporting at the reference's depth (mean/std over
     # repeats, optional CSV + swarm plot — assembly_strategies.report)
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
     from assembly_strategies import report
 
     report(results, args.outfile)
